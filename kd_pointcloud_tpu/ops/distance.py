@@ -1,0 +1,33 @@
+"""Pairwise squared-distance primitives.
+
+TPU-native equivalent of the reference's matmul-based distance expansion
+(reference: pointconv_util.py:73-94). The -2·x·yᵀ term is a single MXU matmul;
+the squared-norm terms are rank-1 broadcasts the VPU fuses in.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Squared Euclidean distance between every (src, dst) point pair.
+
+    Args:
+      src: (..., N, C) query points.
+      dst: (..., M, C) reference points.
+
+    Returns:
+      (..., N, M) squared distances.
+    """
+    # ||x - y||^2 = ||x||^2 + ||y||^2 - 2 x·y  — the cross term rides the MXU.
+    # precision=HIGHEST: neighbor selection (kNN/FPS downstream) is sensitive
+    # to the distance values; default TPU matmul precision (bf16 passes) can
+    # flip near-ties.
+    cross = jnp.matmul(src, jnp.swapaxes(dst, -1, -2),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    s2 = jnp.sum(src.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    d2 = jnp.sum(dst.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    return s2 - 2.0 * cross + jnp.swapaxes(d2, -1, -2)

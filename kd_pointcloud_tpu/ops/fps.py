@@ -1,0 +1,54 @@
+"""Furthest-point sampling.
+
+TPU-native equivalent of the reference CUDA kernel
+(pointnet2/src/sampling_gpu.cu:93-209): seed at index 0, then m-1 sequential
+rounds of "update running min-distance, pick the argmax". The running
+min-distance vector stays device-resident inside a single lax.fori_loop, so the
+whole sweep compiles to one XLA while loop (no host round trips). A
+Pallas VMEM-resident variant lives in ops/pallas/fps_pallas.py for the hot
+path; both produce identical indices (tested).
+
+FPS has no gradient (the CUDA wrapper returns None for grads,
+pointnet2/pointnet2_utils.py:31-33) — indices are integers, so JAX agrees for
+free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """Iterative furthest-point sampling.
+
+    Args:
+      xyz: (B, N, 3) points.
+      npoint: number of samples (static).
+
+    Returns:
+      (B, npoint) int32 indices into xyz. Index 0 is always the seed,
+      matching sampling_gpu.cu:114-115.
+    """
+    B, N, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+
+    init_idx = jnp.zeros((B, npoint), dtype=jnp.int32)
+    init_temp = jnp.full((B, N), 1e10, dtype=jnp.float32)
+    init_last = xyz[:, 0, :]  # seed point coordinates
+
+    def body(j, state):
+        idxs, temp, last = state
+        d = jnp.sum((xyz - last[:, None, :]) ** 2, axis=-1)  # (B, N)
+        temp = jnp.minimum(temp, d)
+        far = jnp.argmax(temp, axis=-1).astype(jnp.int32)    # (B,)
+        idxs = jax.lax.dynamic_update_slice_in_dim(
+            idxs, far[:, None], j, axis=1)
+        last = jnp.take_along_axis(xyz, far[:, None, None], axis=1)[:, 0, :]
+        return idxs, temp, last
+
+    idxs, _, _ = jax.lax.fori_loop(1, npoint, body, (init_idx, init_temp, init_last))
+    return idxs

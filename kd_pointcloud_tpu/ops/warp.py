@@ -1,0 +1,42 @@
+"""Point-cloud warping by inverse-flow interpolation.
+
+Reference: PointWarping (pointconv_util.py:2114-2142). Moves pc2 toward pc1
+using an inverse flow reconstructed at pc2's positions by 3-NN inverse-distance
+weighting over the forward-flowed pc1.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .gather import group_points
+from .knn import knn_point_dist
+
+
+def point_warp(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
+               flow1: jnp.ndarray | None) -> jnp.ndarray:
+    """Warp xyz2 backward along flow1.
+
+    Args:
+      xyz1: (B, N1, 3) source cloud.
+      xyz2: (B, N2, 3) target cloud.
+      flow1: (B, N1, 3) forward flow at xyz1 (None → identity, matching the
+        reference's first decoder level).
+    Returns:
+      (B, N2, 3) warped xyz2.
+    """
+    if flow1 is None:
+        return xyz2
+
+    xyz1_to_2 = xyz1 + flow1
+    # 3-NN of each xyz2 point among the flowed xyz1 points.
+    d2, idx = knn_point_dist(3, xyz1_to_2, xyz2)            # (B, N2, 3)
+    # The reference recomputes dist from the gathered offsets; numerically
+    # identical to sqrt of the knn distances, clamp matches :2133.
+    dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), 1e-10)
+    inv = 1.0 / dist
+    weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
+
+    grouped_flow1 = group_points(flow1, idx)                # (B, N2, 3, 3)
+    flow2 = jnp.sum(weight[..., None] * grouped_flow1, axis=2)
+    return xyz2 - flow2
