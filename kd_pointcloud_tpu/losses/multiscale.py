@@ -1,0 +1,43 @@
+"""Multi-scale supervised flow loss.
+
+Reference: multiScaleLoss (loss_functions.py:6-25). Ground-truth flow is
+downsampled through the model's FPS index chain, then per-level L2 norms are
+summed over points, averaged over batch, and alpha-weighted.
+
+Channels-last: pred flows and gt are (B, N, 3) — no permutes needed.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+from ..ops import gather_points
+
+ALPHA = (0.02, 0.04, 0.08, 0.16)
+SCALE = 1.0
+
+
+def downsample_gt(gt_flow: jnp.ndarray, fps_idxs: Sequence[jnp.ndarray],
+                  scale: float = SCALE):
+    """GT flow pyramid via the FPS index chain (loss_functions.py:13-17)."""
+    gt_flows = [gt_flow]
+    for idx in fps_idxs:
+        gt_flows.append(gather_points(gt_flows[-1], idx) / scale)
+    return gt_flows
+
+
+def multi_scale_loss(pred_flows, gt_flow, fps_idxs,
+                     alpha: Sequence[float] = ALPHA) -> jnp.ndarray:
+    """Σ_l alpha[l] · mean_B Σ_N ||pred_l − gt_l||₂."""
+    num_scale = len(pred_flows)
+    offset = len(fps_idxs) - num_scale + 1
+    gt_flows = downsample_gt(gt_flow, fps_idxs)
+
+    total = jnp.zeros((), jnp.float32)
+    for i in range(num_scale):
+        diff = pred_flows[i] - gt_flows[i + offset]
+        l2 = jnp.linalg.norm(diff, axis=-1)          # (B, N)
+        total += alpha[i] * jnp.mean(jnp.sum(l2, axis=1))
+    return total

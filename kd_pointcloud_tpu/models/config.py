@@ -1,0 +1,124 @@
+"""Model-family configuration.
+
+The reference implements its variants as copied model files
+(models_bid_pointconv.py, models_bid_lighttoken_res.py,
+models_bid_lighttoken_weight48.py, models_bifeat.py, models_bid_FG.py,
+models_bid_no_cross.py, models_bid_non_linear.py, modes_bid_vote.py) differing
+only in a handful of hyperparameters and wiring switches. Here that collapses
+into one frozen dataclass + presets (SURVEY.md §7 design stance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Configuration of a BidPointFlowNet variant.
+
+    Defaults are the teacher (models_bid_pointconv.py:14-72 ==
+    models_bid_lighttoken_res.py:13-64 — same arch, weightnet=16).
+    """
+
+    name: str = "teacher"
+    # point counts of levels l0..l4 (models_bid_pointconv.py:20-58)
+    npoints: Tuple[int, ...] = (8192, 2048, 512, 256, 64)
+    # per-level feature widths l0..l4
+    level_channels: Tuple[int, ...] = (32, 64, 128, 256, 256)
+    # lift widths level{i}_1 / level0_2 feeding the next PointConvD
+    lift_channels: Tuple[int, ...] = (64, 128, 256, 512)
+    flow_nei: int = 32
+    feat_nei: int = 16
+    # WeightNet width per PointConvD level l0..l4 (l0 used only by the
+    # 'pointconv' encoder); weight48 student shrinks these
+    # (models_bid_lighttoken_weight48.py:20-53)
+    weightnet: Tuple[int, ...] = (16, 16, 16, 16, 16)
+    # WeightNet width of the flow-estimator PointConvs per level l0..l3
+    flow_weightnet: Tuple[int, ...] = (16, 16, 16, 16)
+    # cross/cost-volume type: light | fg | nocross | vote
+    cross: str = "light"
+    # l0 encoder: 'conv' = Conv1d stack (teacher), 'pointconv' = lift +
+    # same-resolution PointConv (models_bifeat.py:24-25, models_bid_FG.py:24-25)
+    encoder: str = "conv"
+    # level*_0 block type: conv | bottleneck (models_bid_non_linear.py:25-47)
+    level_block: str = "conv"
+    bottleneck_mids: Tuple[int, ...] = (16, 32, 64, 64)
+    # PointConvNonLinear instead of PointConvD at l3/l4
+    # (models_bid_non_linear.py:43-50)
+    nonlinear_downsample: bool = False
+    # decoder refinement iterations at l0/l1/l2 (models_bifeat.py:141-214)
+    iters: int = 1
+    # deconv widths (deconv4_3, deconv3_2, deconv2_1, deconv1_0):
+    # teacher (64, 64, 32, 32); FG family (64, 128, 64, 32)
+    deconv: Tuple[int, ...] = (64, 64, 32, 32)
+    # flow0 head sizes: teacher default (128,128)/(128,64); FG (64,64)/(64,64)
+    flow0_channels: Tuple[int, ...] = (128, 128)
+    flow0_mlp: Tuple[int, ...] = (128, 64)
+    # no_cross swaps the upsampled inter-level features between clouds and
+    # feeds base (not cross-refined) features to the upsampler
+    # (models_bid_no_cross.py:121-156)
+    swap_interlevel: bool = False
+    scale: float = 1.0
+
+    @property
+    def returns_c_feats(self) -> bool:
+        return self.encoder == "pointconv"   # FG / bifeat 10-tuple contract
+
+
+PRESETS = {
+    # teacher (models_bid_pointconv.py) — identical to lighttoken_res
+    "teacher": ModelConfig(name="teacher"),
+    # the arch trained/evaluated by the main entries and the released ckpt
+    "lighttoken_res": ModelConfig(name="lighttoken_res"),
+    # WeightNet-compression student (models_bid_lighttoken_weight48.py:20-53)
+    "weight48": ModelConfig(
+        name="weight48",
+        weightnet=(4, 4, 4, 8, 8),
+        flow_weightnet=(4, 4, 4, 8),
+    ),
+    # single-pass feature-grouping student (models_bid_FG.py:14-65)
+    "fg": ModelConfig(
+        name="fg", cross="fg", encoder="pointconv", feat_nei=32,
+        weightnet=(8, 8, 8, 8, 8), flow_weightnet=(8, 8, 8, 8),
+        deconv=(64, 128, 64, 32),
+        flow0_channels=(64, 64), flow0_mlp=(64, 64),
+    ),
+    # iterative teacher (models_bifeat.py:14-65, iters=2)
+    "bifeat": ModelConfig(
+        name="bifeat", cross="fg", encoder="pointconv", feat_nei=32,
+        weightnet=(8, 8, 8, 8, 8), flow_weightnet=(8, 8, 8, 8),
+        deconv=(64, 128, 64, 32),
+        flow0_channels=(64, 64), flow0_mlp=(64, 64),
+        iters=2,
+    ),
+    # one-directional cost-volume ablation (models_bid_no_cross.py)
+    "no_cross": ModelConfig(
+        name="no_cross", cross="nocross",
+        weightnet=(8, 8, 8, 8, 8), flow_weightnet=(8, 8, 8, 8),
+        swap_interlevel=True,
+    ),
+    # factorized-conv student (models_bid_non_linear.py)
+    "non_linear": ModelConfig(
+        name="non_linear", level_block="bottleneck",
+        nonlinear_downsample=True,
+    ),
+    # soft-argmax vote cost volume (modes_bid_vote.py)
+    "vote": ModelConfig(
+        name="vote", cross="vote",
+        weightnet=(8, 8, 8, 8, 8), flow_weightnet=(8, 8, 8, 8),
+    ),
+}
+
+
+def tiny_config(base: str = "teacher",
+                npoints=(256, 128, 64, 32, 16)) -> ModelConfig:
+    """Small-shape variant of a preset for tests / multi-chip dry runs.
+
+    Neighbor counts are shrunk so every kNN satisfies k ≤ cloud size at its
+    level (flow_nei must fit the smallest cross level, l3)."""
+    return dataclasses.replace(PRESETS[base], name=f"tiny_{base}",
+                               npoints=tuple(npoints),
+                               flow_nei=min(16, npoints[3]),
+                               feat_nei=min(8, npoints[4]))

@@ -1,0 +1,193 @@
+"""Bidirectional cross / cost-volume layers.
+
+Channels-last rebuilds of the reference cross-layer family:
+  * CrossLayerLight     — pointconv_util.py:1791-1868 (production path)
+  * CrossLayerLightFG   — pointconv_util.py:1871-1957 (feature-grouping kNN,
+                          used by the bifeat iterative teacher + FG student)
+  * NoCrossLayerLight   — pointconv_util2.py:1197-1237 (one-directional
+                          ablation)
+  * CrossLayerLightVote — pointconv_util_vote.py:1450-1531 (soft-argmax vote
+                          flow appended to the pooled cost volume)
+
+Core op per direction: project both feature sets to a shared width (1×1),
+kNN of cloud1 in cloud2, additive position-encoded grouping
+leaky(g2 + g1 + pos(Δxyz)), a pointwise MLP, then max-pool over the K
+neighbors. Everything is dense gathers + MXU matmuls; the (B,N,K,C) grouped
+tensor is the HBM hot spot the Pallas fusion targets later.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import group_points, knn_point
+from .blocks import MLP, Dense, leaky
+
+
+def _cross_pool(nsample, xyz1, xyz2, points1, points2, pos, mlp,
+                *, return_neighbors: bool = False):
+    """One cost-volume direction (reference `cross`, pointconv_util.py:1826-1852).
+
+    xyz*: (B, N*, 3); points*: (B, N*, D) already projected to mlp width.
+    pos: Dense(3 → D); mlp: MLP over the remaining widths.
+    """
+    knn_idx = knn_point(nsample, xyz2, xyz1)              # (B, N1, K)
+    neighbor_xyz = group_points(xyz2, knn_idx)
+    direction_xyz = neighbor_xyz - xyz1[:, :, None, :]
+
+    g2 = group_points(points2, knn_idx)                    # (B, N1, K, D)
+    g1 = points1[:, :, None, :]                            # broadcast over K
+    new_points = leaky(g2 + g1 + pos(direction_xyz))
+    new_points = mlp(new_points)
+    pooled = jnp.max(new_points, axis=2)                   # max over K
+    if return_neighbors:
+        return pooled, new_points, neighbor_xyz
+    return pooled
+
+
+class CrossLayerLight(nn.Module):
+    """Two-round bidirectional cost volume (production path).
+
+    forward(pc1, pc2, feat1, feat2) →
+      (feat1_new, feat2_new)             if mlp2 is None
+      (feat1_new, feat2_new, feat1_final) otherwise
+    matching pointconv_util.py:1853-1868 (note: cross_t1/t2 are applied to the
+    returned feat*_new when mlp2 is present).
+    """
+
+    nsample: int
+    mlp1: Sequence[int]
+    mlp2: Optional[Sequence[int]] = None
+
+    @nn.compact
+    def __call__(self, pc1, pc2, feat1, feat2):
+        cross_t11 = Dense(self.mlp1[0], name="cross_t11")
+        cross_t22 = Dense(self.mlp1[0], name="cross_t22")
+        pos1 = Dense(self.mlp1[0], name="pos1")
+        mlp1 = MLP(self.mlp1[1:], name="mlp1")
+
+        feat1_new = _cross_pool(self.nsample, pc1, pc2, cross_t11(feat1),
+                                cross_t22(feat2), pos1, mlp1)
+        feat2_new = _cross_pool(self.nsample, pc2, pc1, cross_t11(feat2),
+                                cross_t22(feat1), pos1, mlp1)
+
+        if self.mlp2 is None:
+            return feat1_new, feat2_new
+
+        feat1_new = Dense(self.mlp2[0], name="cross_t1")(feat1_new)
+        feat2_new = Dense(self.mlp2[0], name="cross_t2")(feat2_new)
+        pos2 = Dense(self.mlp2[0], name="pos2")
+        mlp2 = MLP(self.mlp2[1:], name="mlp2")
+        feat1_final = _cross_pool(self.nsample, pc1, pc2, feat1_new, feat2_new,
+                                  pos2, mlp2)
+        return feat1_new, feat2_new, feat1_final
+
+
+class CrossLayerLightFG(nn.Module):
+    """Feature-grouping cross layer: neighbors are the union of nsample/2
+    feature-space kNN (over the `fgfeat*` clouds) and nsample/2 Euclidean kNN
+    (pointconv_util.py:1915-1931).
+
+    forward(pc1, pc2, feat1, feat2, fgfeat1, fgfeat2) →
+      (feat1_new, feat2_new, feat1_final); cross_t1/t2 are applied right after
+    each direction's pool (pointconv_util.py:1948-1955).
+    """
+
+    nsample: int
+    mlp1: Sequence[int]
+    mlp2: Sequence[int]
+
+    def _fg_pool(self, xyz1, xyz2, points1, points2, fg1, fg2, pos, mlp):
+        half = self.nsample // 2
+        idx_f = knn_point(half, fg2, fg1)                  # feature-space kNN
+        idx_e = knn_point(half, xyz2, xyz1)                # euclidean kNN
+        idx = jnp.concatenate([idx_f, idx_e], axis=-1)     # (B, N1, K)
+        neighbor_xyz = group_points(xyz2, idx)
+        direction_xyz = neighbor_xyz - xyz1[:, :, None, :]
+        g2 = group_points(points2, idx)
+        g1 = points1[:, :, None, :]
+        new_points = leaky(g2 + g1 + pos(direction_xyz))
+        new_points = mlp(new_points)
+        return jnp.max(new_points, axis=2)
+
+    @nn.compact
+    def __call__(self, pc1, pc2, feat1, feat2, fgfeat1, fgfeat2):
+        cross_t11 = Dense(self.mlp1[0], name="cross_t11")
+        cross_t22 = Dense(self.mlp1[0], name="cross_t22")
+        pos1 = Dense(self.mlp1[0], name="pos1")
+        mlp1 = MLP(self.mlp1[1:], name="mlp1")
+
+        feat1_new = self._fg_pool(pc1, pc2, cross_t11(feat1), cross_t22(feat2),
+                                  fgfeat1, fgfeat2, pos1, mlp1)
+        feat1_new = Dense(self.mlp2[0], name="cross_t1")(feat1_new)
+        feat2_new = self._fg_pool(pc2, pc1, cross_t11(feat2), cross_t22(feat1),
+                                  fgfeat2, fgfeat1, pos1, mlp1)
+        feat2_new = Dense(self.mlp2[0], name="cross_t2")(feat2_new)
+
+        pos2 = Dense(self.mlp2[0], name="pos2")
+        mlp2 = MLP(self.mlp2[1:], name="mlp2")
+        # the final round keeps the same base feature clouds for the
+        # feature-space kNN (pointconv_util.py:1956).
+        feat1_final = self._fg_pool(pc1, pc2, feat1_new, feat2_new,
+                                    fgfeat1, fgfeat2, pos2, mlp2)
+        return feat1_new, feat2_new, feat1_final
+
+
+class NoCrossLayerLight(nn.Module):
+    """One-directional ablation (pointconv_util2.py:1197-1237): single
+    position-encoded grouping of cloud2 around cloud1, returns one tensor.
+    Implemented BN-free (the reference accidentally enables BN via a truthy
+    positional arg — models_bid_no_cross.py:26 passes mlp2 into `bn`; we treat
+    that as a bug and keep the documented BN-off contract)."""
+
+    nsample: int
+    mlp1: Sequence[int]
+
+    @nn.compact
+    def __call__(self, pc1, pc2, feat1, feat2):
+        cross_t1 = Dense(self.mlp1[0], name="cross_t1")
+        cross_t2 = Dense(self.mlp1[0], name="cross_t2")
+        pos = Dense(self.mlp1[0], name="pos")
+        mlp = MLP(self.mlp1[1:], name="mlp")
+        return _cross_pool(self.nsample, pc1, pc2, cross_t1(feat1),
+                           cross_t2(feat2), pos, mlp)
+
+
+class CrossLayerLightVote(nn.Module):
+    """CrossLayerLight + soft-argmax vote flow on the final round
+    (pointconv_util_vote.py:1489-1517): a 1-channel conv over the pre-pool
+    cost tensor, softmax over K, expectation of neighbor positions minus the
+    query position, concatenated to the pooled features (+3 channels)."""
+
+    nsample: int
+    mlp1: Sequence[int]
+    mlp2: Sequence[int]
+
+    @nn.compact
+    def __call__(self, pc1, pc2, feat1, feat2):
+        cross_t11 = Dense(self.mlp1[0], name="cross_t11")
+        cross_t22 = Dense(self.mlp1[0], name="cross_t22")
+        pos1 = Dense(self.mlp1[0], name="pos1")
+        mlp1 = MLP(self.mlp1[1:], name="mlp1")
+
+        feat1_new = _cross_pool(self.nsample, pc1, pc2, cross_t11(feat1),
+                                cross_t22(feat2), pos1, mlp1)
+        feat2_new = _cross_pool(self.nsample, pc2, pc1, cross_t11(feat2),
+                                cross_t22(feat1), pos1, mlp1)
+
+        feat1_new = Dense(self.mlp2[0], name="cross_t1")(feat1_new)
+        feat2_new = Dense(self.mlp2[0], name="cross_t2")(feat2_new)
+        pos2 = Dense(self.mlp2[0], name="pos2")
+        mlp2 = MLP(self.mlp2[1:], name="mlp2")
+        pooled, pre_pool, neighbor_xyz = _cross_pool(
+            self.nsample, pc1, pc2, feat1_new, feat2_new, pos2, mlp2,
+            return_neighbors=True)
+        vote = Dense(1, name="vote")(pre_pool)            # (B, N1, K, 1)
+        vote = jax.nn.softmax(vote, axis=2)
+        flow = jnp.sum(vote * neighbor_xyz, axis=2) - pc1  # (B, N1, 3)
+        feat1_final = jnp.concatenate([pooled, flow], axis=-1)
+        return feat1_new, feat2_new, feat1_final

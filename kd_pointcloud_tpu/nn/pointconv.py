@@ -1,0 +1,152 @@
+"""PointConv layers: WeightNet-weighted continuous convolutions.
+
+Channels-last rebuilds of the reference's production conv modules:
+  * PointConv      — same-resolution conv (pointconv_util.py:217-258)
+  * PointConvD     — FPS-downsampling conv (pointconv_util.py:401-446)
+  * PointConvNonLinear — depthwise+pointwise factorized variant
+                     (pointconv_util3.py:375-427)
+  * PointConvDRand — random- instead of FPS-sampling ablation
+                     (pointconv_util.py:592-637)
+
+The core contraction groups features (B,N,K,C), evaluates WeightNet weights
+(B,N,K,W) on relative coords, contracts over K (einsum → batched MXU matmul),
+then a single big Dense over W·C — the matmul XLA tiles best. The flatten
+order of the (C, W) pair matches the reference's .view(B, N, -1) (c-major).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import furthest_point_sample, gather_points, group_points, knn_point
+from .blocks import Dense, leaky
+from .weightnet import WeightNet
+
+
+def group_knn(nsample: int, xyz, query_xyz, feats):
+    """kNN-group `feats` (and relative coords) of `xyz` around `query_xyz`.
+
+    Returns (grouped [B,S,K,3+C], rel_xyz [B,S,K,3]).
+    Reference: group/group_query (pointconv_util.py:135-182).
+    """
+    idx = knn_point(nsample, xyz, query_xyz)
+    g_xyz = group_points(xyz, idx)                     # (B, S, K, 3)
+    rel = g_xyz - query_xyz[:, :, None, :]
+    g_feat = group_points(feats, idx)                  # (B, S, K, C)
+    return jnp.concatenate([rel, g_feat], axis=-1), rel
+
+
+def weighted_contract(grouped, weights):
+    """(B,S,K,C) × (B,S,K,W) → (B,S,C*W), c-major flatten (matches the
+    reference matmul + .view, pointconv_util.py:245-247)."""
+    B, S, _, C = grouped.shape
+    W = weights.shape[-1]
+    out = jnp.einsum("bskc,bskw->bscw", grouped, weights,
+                     preferred_element_type=jnp.float32).astype(grouped.dtype)
+    return out.reshape(B, S, C * W)
+
+
+class PointConv(nn.Module):
+    """Same-resolution PointConv. bn=True only inside flow estimators
+    (pointconv_util.py:2236 creates it so); that is the model's only BN."""
+
+    nsample: int
+    out_channel: int
+    weightnet: int = 16
+    bn: bool = False
+
+    @nn.compact
+    def __call__(self, xyz, feats, train: bool = True):
+        grouped, rel = group_knn(self.nsample, xyz, xyz, feats)
+        w = WeightNet(self.weightnet)(rel)
+        y = weighted_contract(grouped, w)
+        y = Dense(self.out_channel)(y)
+        if self.bn:
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5)(y)
+        return leaky(y)
+
+
+class PointConvD(nn.Module):
+    """FPS-downsampling PointConv. Returns (new_xyz, new_feat, fps_idx)."""
+
+    npoint: int
+    nsample: int
+    out_channel: int
+    weightnet: int = 16
+    bn: bool = False
+
+    @nn.compact
+    def __call__(self, xyz, feats, train: bool = True):
+        fps_idx = furthest_point_sample(xyz, self.npoint)
+        new_xyz = gather_points(xyz, fps_idx)
+        grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats)
+        w = WeightNet(self.weightnet)(rel)
+        y = weighted_contract(grouped, w)
+        y = Dense(self.out_channel)(y)
+        if self.bn:
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5)(y)
+        return new_xyz, leaky(y), fps_idx
+
+
+class PointConvNonLinear(nn.Module):
+    """Depthwise+pointwise factorized downsampling conv
+    (pointconv_util3.py:375-427): after the weighted contraction the (C, W)
+    block is mixed by a grouped 1×1 (one weight per input channel) then a
+    pointwise conv to out_channel/weightnet channels, flattening back to
+    out_channel."""
+
+    npoint: int
+    nsample: int
+    out_channel: int
+    weightnet: int = 16
+
+    @nn.compact
+    def __call__(self, xyz, feats, train: bool = True):
+        fps_idx = furthest_point_sample(xyz, self.npoint)
+        new_xyz = gather_points(xyz, fps_idx)
+        grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats)
+        w = WeightNet(self.weightnet)(rel)
+        # keep (B, S, C, W) unflattened: reference permutes to (B, C, W, S)
+        B, S, _, C = grouped.shape
+        y = jnp.einsum("bskc,bskw->bscw", grouped, w,
+                       preferred_element_type=jnp.float32).astype(grouped.dtype)
+        # grouped 1x1 over channel dim (torch Conv2d(groups=in_channel)):
+        dw = self.param("depthwise", nn.initializers.variance_scaling(
+            1.0 / 3.0, "fan_in", "uniform"), (C, 1), jnp.float32)
+        db = self.param("depthwise_bias", nn.initializers.zeros, (C,),
+                        jnp.float32)
+        y = y * dw.astype(y.dtype)[None, None] + db.astype(y.dtype)[None, None, :, None]
+        # pointwise conv C -> out/weightnet, applied per W slot:
+        y = jnp.swapaxes(y, -1, -2)                     # (B, S, W, C)
+        y = Dense(self.out_channel // self.weightnet)(y)  # (B, S, W, out/W)
+        y = y.reshape(B, S, -1)
+        return new_xyz, leaky(y), fps_idx
+
+
+class PointConvDRand(nn.Module):
+    """Random-sampling ablation of PointConvD (pointconv_util.py:592-637):
+    takes the first npoint points instead of FPS (the reference samples
+    without replacement from a permutation; deterministic prefix keeps the
+    jitted graph static — the input clouds are already randomly sampled)."""
+
+    npoint: int
+    nsample: int
+    out_channel: int
+    weightnet: int = 16
+
+    @nn.compact
+    def __call__(self, xyz, feats, train: bool = True):
+        B = xyz.shape[0]
+        idx = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (1, self.npoint), 1),
+            (B, self.npoint))
+        new_xyz = gather_points(xyz, idx)
+        grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats)
+        w = WeightNet(self.weightnet)(rel)
+        y = weighted_contract(grouped, w)
+        y = Dense(self.out_channel)(y)
+        return new_xyz, leaky(y), idx
