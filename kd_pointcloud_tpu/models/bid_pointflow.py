@@ -40,6 +40,8 @@ from ..nn.cross import (CrossLayerLight, CrossLayerLightFG,
                         CrossLayerLightVote, NoCrossLayerLight)
 from ..nn.flowhead import SceneFlowEstimatorResidual
 from ..nn.pointconv import PointConv, PointConvD, PointConvNonLinear
+import functools
+
 from ..ops import point_warp, upsample_idw
 from .config import ModelConfig
 
@@ -57,30 +59,35 @@ class BidPointFlowNet(nn.Module):
         cls = (PointConvNonLinear
                if cfg.nonlinear_downsample and lvl >= 3 else PointConvD)
         return cls(cfg.npoints[lvl], cfg.feat_nei, cfg.level_channels[lvl],
-                   weightnet=cfg.weightnet[lvl], name=name)
+                   weightnet=cfg.weightnet[lvl], knn_method=cfg.knn_method,
+                   knn_recall=cfg.knn_recall, name=name)
 
     def _cross(self, lvl: int, name: str):
         cfg = self.cfg
         c = cfg.level_channels[lvl]
         mlp = (c, c)
+        kw = dict(knn_method=cfg.knn_method, knn_recall=cfg.knn_recall,
+                  name=name)
         if cfg.cross == "light":
-            return CrossLayerLight(cfg.flow_nei, mlp, mlp, name=name)
+            return CrossLayerLight(cfg.flow_nei, mlp, mlp, **kw)
         if cfg.cross == "fg":
-            return CrossLayerLightFG(cfg.flow_nei, mlp, mlp, name=name)
+            return CrossLayerLightFG(cfg.flow_nei, mlp, mlp, **kw)
         if cfg.cross == "nocross":
-            return NoCrossLayerLight(cfg.flow_nei, mlp, name=name)
+            return NoCrossLayerLight(cfg.flow_nei, mlp, **kw)
         if cfg.cross == "vote":
-            return CrossLayerLightVote(cfg.flow_nei, mlp, mlp, name=name)
+            return CrossLayerLightVote(cfg.flow_nei, mlp, mlp, **kw)
         raise ValueError(f"unknown cross type {cfg.cross}")
 
     def _flow_head(self, lvl: int, name: str):
         cfg = self.cfg
+        kw = dict(knn_method=cfg.knn_method, knn_recall=cfg.knn_recall,
+                  name=name)
         if lvl == 0:
             return SceneFlowEstimatorResidual(
                 channels=cfg.flow0_channels, mlp=cfg.flow0_mlp,
-                weightnet=cfg.flow_weightnet[0], name=name)
+                weightnet=cfg.flow_weightnet[0], **kw)
         return SceneFlowEstimatorResidual(
-            weightnet=cfg.flow_weightnet[lvl], name=name)
+            weightnet=cfg.flow_weightnet[lvl], **kw)
 
     @nn.compact
     def __call__(self, xyz1, xyz2, color1, color2,
@@ -99,7 +106,9 @@ class BidPointFlowNet(nn.Module):
         else:  # FG family: lift + same-resolution PointConv
             level0_lift = PointwiseBlock(C[0], name="level0_lift")
             level0_pc = PointConv(cfg.feat_nei, C[0],
-                                  weightnet=cfg.weightnet[0], name="level0")
+                                  weightnet=cfg.weightnet[0],
+                                  knn_method=cfg.knn_method,
+                                  knn_recall=cfg.knn_recall, name="level0")
             level0_2 = PointwiseBlock(L[0], name="level0_1")
 
         level1 = self._downsample(1, "level1")
@@ -148,6 +157,11 @@ class BidPointFlowNet(nn.Module):
                         lift=[f0_1, f1_2, f2_3, f3_4],
                         idx=[idx1, idx2, idx3])
 
+        upsample = functools.partial(upsample_idw, method=cfg.knn_method,
+                                     recall=cfg.knn_recall)
+        warp = functools.partial(point_warp, method=cfg.knn_method,
+                                 recall=cfg.knn_recall)
+
         e1 = encode(xyz1, color1)
         e2 = encode(xyz2, color2)
         pc1, pc2 = e1["pc"], e2["pc"]
@@ -159,8 +173,8 @@ class BidPointFlowNet(nn.Module):
             return crosses_m[lvl](xa, xb, fa, fb)
 
         # ---------------- l4 → l3 skip
-        f1_l4_3 = deconv4_3(upsample_idw(pc1[3], pc1[4], e1["feat"][4]))
-        f2_l4_3 = deconv4_3(upsample_idw(pc2[3], pc2[4], e2["feat"][4]))
+        f1_l4_3 = deconv4_3(upsample(pc1[3], pc1[4], e1["feat"][4]))
+        f2_l4_3 = deconv4_3(upsample(pc2[3], pc2[4], e2["feat"][4]))
 
         # ---------------- l3 (no warp at the coarsest cross level)
         if cfg.swap_interlevel:   # no_cross swaps clouds (models_bid_no_cross.py:121-122)
@@ -193,8 +207,8 @@ class BidPointFlowNet(nn.Module):
         for lvl in (2, 1, 0):
             dec = deconvs[lvl]
             # inter-level feature skip from lvl+1 → lvl
-            i1 = dec(upsample_idw(pc1[lvl], pc1[lvl + 1], f1_up_src))
-            i2 = dec(upsample_idw(pc2[lvl], pc2[lvl + 1], f2_up_src))
+            i1 = dec(upsample(pc1[lvl], pc1[lvl + 1], f1_up_src))
+            i2 = dec(upsample(pc2[lvl], pc2[lvl + 1], f2_up_src))
             inter1[lvl], inter2[lvl] = i1, i2
             if cfg.swap_interlevel:
                 c_feat1 = jnp.concatenate([e1["feat"][lvl], i2], -1)
@@ -203,15 +217,15 @@ class BidPointFlowNet(nn.Module):
                 c_feat1 = jnp.concatenate([e1["feat"][lvl], i1], -1)
                 c_feat2 = jnp.concatenate([e2["feat"][lvl], i2], -1)
 
-            up_flow = upsample_idw(pc1[lvl], pc1[lvl + 1],
+            up_flow = upsample(pc1[lvl], pc1[lvl + 1],
                                    cfg.scale * up_flow_src)
-            feat_up = upsample_idw(pc1[lvl], pc1[lvl + 1], up_feat)
+            feat_up = upsample(pc1[lvl], pc1[lvl + 1], up_feat)
 
             iter_flows, iter_cfeats1, iter_cfeats2 = [], [], []
             for _ in range(cfg.iters):
                 iter_cfeats1.append(c_feat1)
                 iter_cfeats2.append(c_feat2)
-                pc2_warp = point_warp(pc1[lvl], pc2[lvl], up_flow)
+                pc2_warp = warp(pc1[lvl], pc2[lvl], up_flow)
                 if nocross:
                     cross_l = cross_call(lvl, pc1[lvl], pc2_warp,
                                          c_feat1, c_feat2)

@@ -29,13 +29,18 @@ from .blocks import MLP, Dense, leaky
 
 
 def _cross_pool(nsample, xyz1, xyz2, points1, points2, pos, mlp,
-                *, return_neighbors: bool = False):
+                *, knn_idx=None, method: str = "exact", recall: float = 0.95,
+                return_neighbors: bool = False):
     """One cost-volume direction (reference `cross`, pointconv_util.py:1826-1852).
 
     xyz*: (B, N*, 3); points*: (B, N*, D) already projected to mlp width.
     pos: Dense(3 → D); mlp: MLP over the remaining widths.
+    `knn_idx` shares the geometry-only kNN between the two rounds of the same
+    direction (the reference recomputes it, pointconv_util.py:1836).
     """
-    knn_idx = knn_point(nsample, xyz2, xyz1)              # (B, N1, K)
+    if knn_idx is None:
+        knn_idx = knn_point(nsample, xyz2, xyz1,
+                            method=method, recall=recall)  # (B, N1, K)
     neighbor_xyz = group_points(xyz2, knn_idx)
     direction_xyz = neighbor_xyz - xyz1[:, :, None, :]
 
@@ -62,6 +67,8 @@ class CrossLayerLight(nn.Module):
     nsample: int
     mlp1: Sequence[int]
     mlp2: Optional[Sequence[int]] = None
+    knn_method: str = "exact"
+    knn_recall: float = 0.95
 
     @nn.compact
     def __call__(self, pc1, pc2, feat1, feat2):
@@ -70,10 +77,17 @@ class CrossLayerLight(nn.Module):
         pos1 = Dense(self.mlp1[0], name="pos1")
         mlp1 = MLP(self.mlp1[1:], name="mlp1")
 
+        # one kNN per direction, shared by both rounds (the reference runs
+        # three identical-geometry kNNs per layer)
+        idx12 = knn_point(self.nsample, pc2, pc1, method=self.knn_method,
+                          recall=self.knn_recall)
+        idx21 = knn_point(self.nsample, pc1, pc2, method=self.knn_method,
+                          recall=self.knn_recall)
+
         feat1_new = _cross_pool(self.nsample, pc1, pc2, cross_t11(feat1),
-                                cross_t22(feat2), pos1, mlp1)
+                                cross_t22(feat2), pos1, mlp1, knn_idx=idx12)
         feat2_new = _cross_pool(self.nsample, pc2, pc1, cross_t11(feat2),
-                                cross_t22(feat1), pos1, mlp1)
+                                cross_t22(feat1), pos1, mlp1, knn_idx=idx21)
 
         if self.mlp2 is None:
             return feat1_new, feat2_new
@@ -83,7 +97,7 @@ class CrossLayerLight(nn.Module):
         pos2 = Dense(self.mlp2[0], name="pos2")
         mlp2 = MLP(self.mlp2[1:], name="mlp2")
         feat1_final = _cross_pool(self.nsample, pc1, pc2, feat1_new, feat2_new,
-                                  pos2, mlp2)
+                                  pos2, mlp2, knn_idx=idx12)
         return feat1_new, feat2_new, feat1_final
 
 
@@ -100,12 +114,20 @@ class CrossLayerLightFG(nn.Module):
     nsample: int
     mlp1: Sequence[int]
     mlp2: Sequence[int]
+    knn_method: str = "exact"
+    knn_recall: float = 0.95
 
-    def _fg_pool(self, xyz1, xyz2, points1, points2, fg1, fg2, pos, mlp):
+    def _fg_idx(self, xyz1, xyz2, fg1, fg2):
+        """Union of feature-space and euclidean kNN (pointconv_util.py:1921-1926).
+        Identical for both rounds of a direction — computed once."""
         half = self.nsample // 2
-        idx_f = knn_point(half, fg2, fg1)                  # feature-space kNN
-        idx_e = knn_point(half, xyz2, xyz1)                # euclidean kNN
-        idx = jnp.concatenate([idx_f, idx_e], axis=-1)     # (B, N1, K)
+        idx_f = knn_point(half, fg2, fg1, method=self.knn_method,
+                          recall=self.knn_recall)          # feature-space kNN
+        idx_e = knn_point(half, xyz2, xyz1, method=self.knn_method,
+                          recall=self.knn_recall)          # euclidean kNN
+        return jnp.concatenate([idx_f, idx_e], axis=-1)    # (B, N1, K)
+
+    def _fg_pool(self, idx, xyz1, xyz2, points1, points2, pos, mlp):
         neighbor_xyz = group_points(xyz2, idx)
         direction_xyz = neighbor_xyz - xyz1[:, :, None, :]
         g2 = group_points(points2, idx)
@@ -121,19 +143,22 @@ class CrossLayerLightFG(nn.Module):
         pos1 = Dense(self.mlp1[0], name="pos1")
         mlp1 = MLP(self.mlp1[1:], name="mlp1")
 
-        feat1_new = self._fg_pool(pc1, pc2, cross_t11(feat1), cross_t22(feat2),
-                                  fgfeat1, fgfeat2, pos1, mlp1)
+        idx12 = self._fg_idx(pc1, pc2, fgfeat1, fgfeat2)
+        idx21 = self._fg_idx(pc2, pc1, fgfeat2, fgfeat1)
+
+        feat1_new = self._fg_pool(idx12, pc1, pc2, cross_t11(feat1),
+                                  cross_t22(feat2), pos1, mlp1)
         feat1_new = Dense(self.mlp2[0], name="cross_t1")(feat1_new)
-        feat2_new = self._fg_pool(pc2, pc1, cross_t11(feat2), cross_t22(feat1),
-                                  fgfeat2, fgfeat1, pos1, mlp1)
+        feat2_new = self._fg_pool(idx21, pc2, pc1, cross_t11(feat2),
+                                  cross_t22(feat1), pos1, mlp1)
         feat2_new = Dense(self.mlp2[0], name="cross_t2")(feat2_new)
 
         pos2 = Dense(self.mlp2[0], name="pos2")
         mlp2 = MLP(self.mlp2[1:], name="mlp2")
         # the final round keeps the same base feature clouds for the
-        # feature-space kNN (pointconv_util.py:1956).
-        feat1_final = self._fg_pool(pc1, pc2, feat1_new, feat2_new,
-                                    fgfeat1, fgfeat2, pos2, mlp2)
+        # feature-space kNN (pointconv_util.py:1956) -> same indices.
+        feat1_final = self._fg_pool(idx12, pc1, pc2, feat1_new, feat2_new,
+                                    pos2, mlp2)
         return feat1_new, feat2_new, feat1_final
 
 
@@ -146,6 +171,8 @@ class NoCrossLayerLight(nn.Module):
 
     nsample: int
     mlp1: Sequence[int]
+    knn_method: str = "exact"
+    knn_recall: float = 0.95
 
     @nn.compact
     def __call__(self, pc1, pc2, feat1, feat2):
@@ -154,7 +181,8 @@ class NoCrossLayerLight(nn.Module):
         pos = Dense(self.mlp1[0], name="pos")
         mlp = MLP(self.mlp1[1:], name="mlp")
         return _cross_pool(self.nsample, pc1, pc2, cross_t1(feat1),
-                           cross_t2(feat2), pos, mlp)
+                           cross_t2(feat2), pos, mlp,
+                           method=self.knn_method, recall=self.knn_recall)
 
 
 class CrossLayerLightVote(nn.Module):
@@ -166,6 +194,8 @@ class CrossLayerLightVote(nn.Module):
     nsample: int
     mlp1: Sequence[int]
     mlp2: Sequence[int]
+    knn_method: str = "exact"
+    knn_recall: float = 0.95
 
     @nn.compact
     def __call__(self, pc1, pc2, feat1, feat2):
@@ -174,10 +204,15 @@ class CrossLayerLightVote(nn.Module):
         pos1 = Dense(self.mlp1[0], name="pos1")
         mlp1 = MLP(self.mlp1[1:], name="mlp1")
 
+        idx12 = knn_point(self.nsample, pc2, pc1, method=self.knn_method,
+                          recall=self.knn_recall)
+        idx21 = knn_point(self.nsample, pc1, pc2, method=self.knn_method,
+                          recall=self.knn_recall)
+
         feat1_new = _cross_pool(self.nsample, pc1, pc2, cross_t11(feat1),
-                                cross_t22(feat2), pos1, mlp1)
+                                cross_t22(feat2), pos1, mlp1, knn_idx=idx12)
         feat2_new = _cross_pool(self.nsample, pc2, pc1, cross_t11(feat2),
-                                cross_t22(feat1), pos1, mlp1)
+                                cross_t22(feat1), pos1, mlp1, knn_idx=idx21)
 
         feat1_new = Dense(self.mlp2[0], name="cross_t1")(feat1_new)
         feat2_new = Dense(self.mlp2[0], name="cross_t2")(feat2_new)
@@ -185,7 +220,7 @@ class CrossLayerLightVote(nn.Module):
         mlp2 = MLP(self.mlp2[1:], name="mlp2")
         pooled, pre_pool, neighbor_xyz = _cross_pool(
             self.nsample, pc1, pc2, feat1_new, feat2_new, pos2, mlp2,
-            return_neighbors=True)
+            knn_idx=idx12, return_neighbors=True)
         vote = Dense(1, name="vote")(pre_pool)            # (B, N1, K, 1)
         vote = jax.nn.softmax(vote, axis=2)
         flow = jnp.sum(vote * neighbor_xyz, axis=2) - pc1  # (B, N1, 3)

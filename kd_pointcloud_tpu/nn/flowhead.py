@@ -20,6 +20,7 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops import knn_point
 from .blocks import MLP, Dense
 from .pointconv import PointConv
 
@@ -30,14 +31,19 @@ class SceneFlowEstimatorResidual(nn.Module):
     neighbors: int = 9
     clamp: float = 200.0
     weightnet: int = 16
+    knn_method: str = "exact"
+    knn_recall: float = 0.95
 
     @nn.compact
     def __call__(self, xyz, feats, cost_volume, flow: Optional[jnp.ndarray] = None,
                  train: bool = True):
         x = jnp.concatenate([feats, cost_volume], axis=-1)
+        # one self-kNN shared by the whole PointConv stack (same xyz)
+        idx = knn_point(self.neighbors, xyz, xyz, method=self.knn_method,
+                        recall=self.knn_recall)
         for ch in self.channels:
             x = PointConv(self.neighbors, ch, weightnet=self.weightnet,
-                          bn=True)(xyz, x, train=train)
+                          bn=True)(xyz, x, train=train, knn_idx=idx)
         x = MLP(self.mlp)(x)
         flow_local = Dense(3)(x)
         flow_local = jnp.clip(flow_local, -self.clamp, self.clamp)
@@ -50,15 +56,19 @@ class SceneFlowEstimatorPointConv(nn.Module):
     neighbors: int = 9
     clamp: float = 200.0
     weightnet: int = 16
+    knn_method: str = "exact"
+    knn_recall: float = 0.95
 
     @nn.compact
     def __call__(self, xyz, feats, cost_volume, flow: Optional[jnp.ndarray] = None,
                  train: bool = True):
         parts = [feats, cost_volume] if flow is None else [feats, cost_volume, flow]
         x = jnp.concatenate(parts, axis=-1)
+        idx = knn_point(self.neighbors, xyz, xyz, method=self.knn_method,
+                        recall=self.knn_recall)
         for ch in self.channels:
             x = PointConv(self.neighbors, ch, weightnet=self.weightnet,
-                          bn=True)(xyz, x, train=train)
+                          bn=True)(xyz, x, train=train, knn_idx=idx)
         x = MLP(self.mlp)(x)
         out_flow = jnp.clip(Dense(3)(x), -self.clamp, self.clamp)
         return x, out_flow
@@ -75,6 +85,8 @@ class SceneFlowEstimatorResidualIter(nn.Module):
     clamp: float = 200.0
     weightnet: int = 16
     iters: int = 3
+    knn_method: str = "exact"
+    knn_recall: float = 0.95
 
     @nn.compact
     def __call__(self, xyz, feats, cost_volume, flow: Optional[jnp.ndarray] = None,
@@ -83,11 +95,13 @@ class SceneFlowEstimatorResidualIter(nn.Module):
                  for ch in self.channels]
         mlp = MLP(self.mlp)
         fc = Dense(3)
+        idx = knn_point(self.neighbors, xyz, xyz, method=self.knn_method,
+                        recall=self.knn_recall)
         x = jnp.concatenate([feats, cost_volume], axis=-1)
         for _ in range(self.iters):
             h = x
             for conv in convs:
-                h = conv(xyz, h, train=train)
+                h = conv(xyz, h, train=train, knn_idx=idx)
             h = mlp(h)
             flow_local = jnp.clip(fc(h), -self.clamp, self.clamp)
             flow = flow_local if flow is None else flow_local + flow

@@ -25,13 +25,16 @@ from .blocks import Dense, leaky
 from .weightnet import WeightNet
 
 
-def group_knn(nsample: int, xyz, query_xyz, feats):
+def group_knn(nsample: int, xyz, query_xyz, feats, method: str = "exact",
+              recall: float = 0.95, idx=None):
     """kNN-group `feats` (and relative coords) of `xyz` around `query_xyz`.
 
     Returns (grouped [B,S,K,3+C], rel_xyz [B,S,K,3]).
     Reference: group/group_query (pointconv_util.py:135-182).
+    `idx` lets callers share one kNN across several convs on the same clouds.
     """
-    idx = knn_point(nsample, xyz, query_xyz)
+    if idx is None:
+        idx = knn_point(nsample, xyz, query_xyz, method=method, recall=recall)
     g_xyz = group_points(xyz, idx)                     # (B, S, K, 3)
     rel = g_xyz - query_xyz[:, :, None, :]
     g_feat = group_points(feats, idx)                  # (B, S, K, C)
@@ -56,10 +59,13 @@ class PointConv(nn.Module):
     out_channel: int
     weightnet: int = 16
     bn: bool = False
+    knn_method: str = "exact"
+    knn_recall: float = 0.95
 
     @nn.compact
-    def __call__(self, xyz, feats, train: bool = True):
-        grouped, rel = group_knn(self.nsample, xyz, xyz, feats)
+    def __call__(self, xyz, feats, train: bool = True, knn_idx=None):
+        grouped, rel = group_knn(self.nsample, xyz, xyz, feats,
+                                 self.knn_method, self.knn_recall, knn_idx)
         w = WeightNet(self.weightnet)(rel)
         y = weighted_contract(grouped, w)
         y = Dense(self.out_channel)(y)
@@ -77,12 +83,15 @@ class PointConvD(nn.Module):
     out_channel: int
     weightnet: int = 16
     bn: bool = False
+    knn_method: str = "exact"
+    knn_recall: float = 0.95
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True):
         fps_idx = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, fps_idx)
-        grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats)
+        grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats,
+                                 self.knn_method, self.knn_recall)
         w = WeightNet(self.weightnet)(rel)
         y = weighted_contract(grouped, w)
         y = Dense(self.out_channel)(y)
@@ -103,12 +112,15 @@ class PointConvNonLinear(nn.Module):
     nsample: int
     out_channel: int
     weightnet: int = 16
+    knn_method: str = "exact"
+    knn_recall: float = 0.95
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True):
         fps_idx = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, fps_idx)
-        grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats)
+        grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats,
+                                 self.knn_method, self.knn_recall)
         w = WeightNet(self.weightnet)(rel)
         # keep (B, S, C, W) unflattened: reference permutes to (B, C, W, S)
         B, S, _, C = grouped.shape
@@ -137,6 +149,8 @@ class PointConvDRand(nn.Module):
     nsample: int
     out_channel: int
     weightnet: int = 16
+    knn_method: str = "exact"
+    knn_recall: float = 0.95
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True):
@@ -145,7 +159,8 @@ class PointConvDRand(nn.Module):
             jax.lax.broadcasted_iota(jnp.int32, (1, self.npoint), 1),
             (B, self.npoint))
         new_xyz = gather_points(xyz, idx)
-        grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats)
+        grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats,
+                                 self.knn_method, self.knn_recall)
         w = WeightNet(self.weightnet)(rel)
         y = weighted_contract(grouped, w)
         y = Dense(self.out_channel)(y)

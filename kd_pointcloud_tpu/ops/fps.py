@@ -21,18 +21,31 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
+                          backend: str = "auto") -> jnp.ndarray:
     """Iterative furthest-point sampling.
 
     Args:
       xyz: (B, N, 3) points.
       npoint: number of samples (static).
+      backend: "auto" (Pallas kernel on TPU, XLA loop elsewhere),
+        "pallas", or "xla".
 
     Returns:
       (B, npoint) int32 indices into xyz. Index 0 is always the seed,
       matching sampling_gpu.cu:114-115.
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") \
+            else "xla"
+    if backend == "pallas":
+        from .pallas.fps_pallas import furthest_point_sample_pallas
+        return furthest_point_sample_pallas(xyz, npoint)
+    return _furthest_point_sample_xla(xyz, npoint)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _furthest_point_sample_xla(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     B, N, _ = xyz.shape
     xyz = xyz.astype(jnp.float32)
 

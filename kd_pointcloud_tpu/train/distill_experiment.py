@@ -1,0 +1,151 @@
+"""KD experiment loops: standard, bridge, and fast/iterative distillation.
+
+Rebuilds of distilTrain.py:25-208, distillBridge.py:27-216, and
+fast_distillTrain.py:25-217. Each builds a frozen teacher + trainable
+student, runs the epoch loop with the matching KD loss, evaluates the student
+per epoch (fast mode: every 5th epoch inside [FROM, UNTIL],
+fast_distillTrain.py:142-144, 200), and checkpoints on best EPE.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..data import DataLoader
+from ..models import PRESETS, BidPointFlowNet, Bridge
+from ..utils import Config, blue, make_experiment_dir, make_logger
+from .checkpoints import load_checkpoint, save_checkpoint
+from .distill import (make_bridge_distill_step, make_distill_step,
+                      make_fast_distill_step)
+from .experiment import build_datasets, init_model
+from .loop import batch_to_device, eval_sceneflow, make_eval_step
+from .state import TrainState, make_optimizer, set_learning_rate, step_lr
+
+# fast_distillTrain.py:142-144: eval every FAST_RATIO epochs between FROM/UNTIL
+FAST_FROM, FAST_UNTIL, FAST_RATIO = 20, 400, 5
+
+
+def _load_teacher(model: BidPointFlowNet, ckpt_path: str, batch_np):
+    variables = init_model(model, batch_np, seed=1)
+    if ckpt_path:
+        restored = load_checkpoint(
+            ckpt_path, {"params": variables["params"],
+                        "batch_stats": variables.get("batch_stats", {})})
+        variables = {"params": restored["params"],
+                     "batch_stats": restored.get("batch_stats", {})}
+    return variables
+
+
+def distill(args: Config, mode: str = "standard",
+            max_epochs: Optional[int] = None,
+            max_steps_per_epoch: Optional[int] = None):
+    """mode: standard (distilTrain) | bridge (distillBridge) |
+    fast (fast_distillTrain)."""
+    presets = {
+        "standard": ("teacher", "lighttoken_res"),   # distilTrain.py:103-105
+        "bridge": ("teacher", "lighttoken_res"),     # distillBridge.py
+        "fast": ("bifeat", "fg"),                    # fast_distillTrain.py:103-105
+    }
+    t_preset, s_preset = presets[mode]
+    t_preset = args.get("teacher_preset", t_preset)
+    s_preset = args.get("student_preset", s_preset)
+
+    run_dir = make_experiment_dir(args.get("experiment_dir", "./experiment"),
+                                  args.model_name, tag=f"-KD-{mode}")
+    logger = make_logger(f"{args.model_name}_kd_{mode}",
+                         osp.join(run_dir, "logs", "train_kd.txt"))
+    logger.info("PARAMETER ... %s", dict(args))
+
+    t_model = BidPointFlowNet(PRESETS[t_preset])
+    s_model = BidPointFlowNet(PRESETS[s_preset])
+
+    train_ds, val_ds = build_datasets(args)
+    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
+                              drop_last=True, num_workers=args.get("workers", 2))
+    val_loader = DataLoader(val_ds, args.batch_size, shuffle=False,
+                            drop_last=True, num_workers=args.get("workers", 2))
+
+    first = next(iter(train_loader))
+    teacher_ckpt = None
+    if args.get("ckpt_dir") and args.get("teacher_model"):
+        teacher_ckpt = osp.join(args.ckpt_dir, args.teacher_model)
+    t_variables = _load_teacher(t_model, teacher_ckpt, first)
+
+    s_variables = init_model(s_model, first)
+    tx = make_optimizer(args.learning_rate, args.weight_decay)
+    state = TrainState.create(s_variables, tx)
+
+    if mode == "standard":
+        step = make_distill_step(t_model, s_model, tx,
+                                 gamma=args.get("gamma", 0.3),
+                                 beta=args.get("beta", 0.8),
+                                 layer=tuple(args.get("hint_layers", (2, 3))))
+    elif mode == "fast":
+        step = make_fast_distill_step(t_model, s_model, tx,
+                                      gamma=args.get("gamma", 0.6),
+                                      layers=tuple(args.get("hint_layers",
+                                                            (1, 2))))
+    else:  # bridge
+        bridge = Bridge(feat_ch=args.get("bridge_feat_ch", 512))
+        b_tx = make_optimizer(args.learning_rate, args.weight_decay)
+        t_l3 = jax.eval_shape(
+            lambda: t_model.apply(
+                t_variables, *[batch_to_device(first)[k] for k in
+                               ("pos1", "pos2", "norm1", "norm2")],
+                train=False))
+        layer = args.get("hint_layer", 3)
+        feat_shape = t_l3["feat1s"][layer]
+        b_params = bridge.init(
+            jax.random.PRNGKey(2),
+            np.zeros(feat_shape.shape, np.float32),
+            np.zeros(feat_shape.shape, np.float32))["params"]
+        b_opt = b_tx.init(b_params)
+        step = make_bridge_distill_step(t_model, s_model, bridge, tx, b_tx,
+                                        gamma=args.get("gamma", 0.3),
+                                        beta=args.get("beta", 0.8),
+                                        layer=layer)
+
+    eval_step = make_eval_step(s_model)
+
+    best_epe = float("inf")
+    epochs = max_epochs if max_epochs is not None else args.epochs
+    for epoch in range(epochs):
+        lr = step_lr(args.learning_rate, epoch)
+        state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
+
+        losses = []
+        for i, batch_np in enumerate(train_loader):
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                break
+            batch = batch_to_device(batch_np)
+            if mode == "bridge":
+                state, b_params, b_opt, loss = step(state, b_params, b_opt,
+                                                    t_variables, batch)
+            else:
+                state, loss = step(state, t_variables, batch)
+            losses.append(loss)
+        train_loss = float(np.mean([float(l) for l in losses]))
+        logger.info("EPOCH %d %s mean loss: %f", epoch, blue("train"),
+                    train_loss)
+
+        do_eval = True
+        if mode == "fast" and FAST_FROM <= epoch <= FAST_UNTIL:
+            do_eval = (epoch % FAST_RATIO == 0)
+        if do_eval:
+            eval_epe3d, eval_loss = eval_sceneflow(eval_step, state.variables,
+                                                   val_loader)
+            logger.info("EPOCH %d %s mean epe3d: %f  eval loss: %f",
+                        epoch, blue("eval"), eval_epe3d, eval_loss)
+            if eval_epe3d < best_epe:
+                best_epe = eval_epe3d
+                path = save_checkpoint(osp.join(run_dir, "checkpoints"), "S",
+                                       epoch, best_epe,
+                                       {"params": state.params,
+                                        "batch_stats": state.batch_stats})
+                logger.info("Save model to %s", path)
+
+    return state, best_epe, run_dir

@@ -1,0 +1,141 @@
+"""Train/distill step tests on tiny models (virtual CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kd_pointcloud_tpu.models import BidPointFlowNet, Bridge, tiny_config
+from kd_pointcloud_tpu.train import (TrainState, make_optimizer,
+                                     make_train_step, set_learning_rate,
+                                     step_lr)
+from kd_pointcloud_tpu.train.distill import (make_bridge_distill_step,
+                                             make_distill_step,
+                                             make_fast_distill_step)
+
+N = 256
+
+
+@pytest.fixture
+def batch(rng):
+    mk = lambda: jnp.asarray(rng.randn(2, N, 3).astype(np.float32))
+    pos1, pos2 = mk(), mk()
+    return dict(pos1=pos1, pos2=pos2, norm1=pos1, norm2=pos2, flow=mk() * 0.1)
+
+
+def _init(model, batch, seed=0):
+    return jax.jit(lambda k: model.init(k, batch["pos1"], batch["pos2"],
+                                        batch["norm1"], batch["norm2"],
+                                        train=False))(jax.random.PRNGKey(seed))
+
+
+class TestSchedule:
+    def test_step_lr(self):
+        assert step_lr(1e-3, 0) == 1e-3
+        assert step_lr(1e-3, 100) == 5e-4
+        assert step_lr(1e-3, 250) == 2.5e-4
+        assert step_lr(1e-3, 10_000) == 1e-5   # clip (train_bid_pointconv.py:126)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, batch):
+        model = BidPointFlowNet(tiny_config("teacher"))
+        variables = _init(model, batch)
+        tx = make_optimizer(1e-3)
+        state = TrainState.create(variables, tx)
+        step = make_train_step(model, tx, donate=False)
+        losses = []
+        for _ in range(5):
+            state, loss = step(state, batch)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 5
+
+    def test_lr_injection(self, batch):
+        model = BidPointFlowNet(tiny_config("teacher"))
+        tx = make_optimizer(1e-3)
+        state = TrainState.create(_init(model, batch), tx)
+        state = state.replace(
+            opt_state=set_learning_rate(state.opt_state, 1e-5))
+        assert float(state.opt_state.hyperparams["lr"]) == pytest.approx(1e-5)
+
+
+class TestDistillSteps:
+    def test_standard(self, batch):
+        t_model = BidPointFlowNet(tiny_config("teacher"))
+        s_model = BidPointFlowNet(tiny_config("teacher"))
+        t_vars = _init(t_model, batch, 1)
+        tx = make_optimizer(1e-3)
+        state = TrainState.create(_init(s_model, batch), tx)
+        # hint vs concat of teacher feats needs 2x width — use plain layers
+        # via a custom loss; here exercise the default on width-matched feats
+        from kd_pointcloud_tpu.losses import bidirection_loss_ht
+
+        def loss_fn(s_out, t_out, b):
+            return bidirection_loss_ht(
+                s_out["flows"], s_out["feat1s"], s_out["feat2s"],
+                s_out["fps_idx1"], b["flow"], t_out["flows"],
+                t_out["feat1s"], t_out["feat2s"], gamma=0.3, beta=0.8,
+                layer=1)
+
+        step = make_distill_step(t_model, s_model, tx, loss_fn=loss_fn)
+        state2, loss = step(state, t_vars, batch)
+        assert np.isfinite(float(loss))
+        # teacher variables untouched; student stepped
+        assert int(state2.step) == 1
+
+    def test_fast_iterative(self, batch):
+        t_model = BidPointFlowNet(tiny_config("bifeat"))
+        s_model = BidPointFlowNet(tiny_config("fg"))
+        t_vars = _init(t_model, batch, 1)
+        tx = make_optimizer(1e-3)
+        state = TrainState.create(_init(s_model, batch), tx)
+        step = make_fast_distill_step(t_model, s_model, tx, gamma=0.6,
+                                      layers=(1, 2))
+        state2, loss = step(state, t_vars, batch)
+        assert np.isfinite(float(loss))
+
+    def test_bridge(self, batch):
+        t_model = BidPointFlowNet(tiny_config("teacher"))
+        s_model = BidPointFlowNet(tiny_config("teacher"))
+        t_vars = _init(t_model, batch, 1)
+        tx = make_optimizer(1e-3)
+        b_tx = make_optimizer(1e-3)
+        state = TrainState.create(_init(s_model, batch), tx)
+
+        layer = 3
+        t_out = jax.eval_shape(lambda: t_model.apply(
+            t_vars, batch["pos1"], batch["pos2"], batch["norm1"],
+            batch["norm2"], train=False))
+        feat_sh = t_out["feat1s"][layer].shape
+        bridge = Bridge(feat_ch=feat_sh[-1])
+        b_params = bridge.init(jax.random.PRNGKey(2),
+                               jnp.zeros(feat_sh), jnp.zeros(feat_sh))["params"]
+        b_opt = b_tx.init(b_params)
+
+        step = make_bridge_distill_step(t_model, s_model, bridge, tx, b_tx,
+                                        layer=layer)
+        # b_params is donated by the step — snapshot to host first
+        before = [np.asarray(p) for p in jax.tree_util.tree_leaves(b_params)]
+        state2, b_params2, b_opt2, loss = step(state, b_params, b_opt,
+                                               t_vars, batch)
+        assert np.isfinite(float(loss))
+        # the bridge trains through the hint loss (documented divergence)
+        changed = any(
+            not np.allclose(a, np.asarray(b))
+            for a, b in zip(before, jax.tree_util.tree_leaves(b_params2)))
+        assert changed
+
+
+class TestMultichipEntry:
+    def test_dryrun(self):
+        import __graft_entry__ as g
+        g.dryrun_multichip(8)
+
+    def test_entry_shapes(self):
+        import __graft_entry__ as g
+        # compile-check on tiny shapes would need the full model; just check
+        # the callable contract lazily via eval_shape on the returned fn
+        fn, args = g.entry()
+        out = jax.eval_shape(fn, *args)
+        assert out.shape == (1, 8192, 3)
