@@ -114,6 +114,24 @@ PRESETS = {
         name="vote", cross="vote",
         weightnet=(8, 8, 8, 8, 8), flow_weightnet=(8, 8, 8, 8),
     ),
+    # halved-width bottleneck student (models_bid_pointconv.py:210-375,
+    # PointConvBidStudentModel)
+    "student": ModelConfig(
+        name="student", level_block="bottleneck",
+        level_channels=(16, 32, 64, 128, 128),
+        lift_channels=(32, 64, 128, 256),
+        bottleneck_mids=(8, 8, 16, 32),
+        deconv=(32, 32, 32, 16),
+    ),
+    # wider bottleneck student (models_bid_pointconv.py:377-542,
+    # PointConvBidStudentModel2)
+    "student2": ModelConfig(
+        name="student2", level_block="bottleneck",
+        level_channels=(32, 64, 64, 128, 128),
+        lift_channels=(64, 64, 128, 256),
+        bottleneck_mids=(16, 16, 16, 32),
+        deconv=(32, 32, 32, 32),
+    ),
 }
 
 

@@ -1,0 +1,333 @@
+"""Experimental / ablation modules from the reference ops library.
+
+Channels-last rebuilds of the inventory the reference ships but does not use
+on its production path (SURVEY.md §2.3 "experimental/ablation variants").
+Kept for capability parity: researchers switching from the reference find the
+same building blocks. Each class cites its reference source.
+
+BN-off global default mirrors pointconv_util.py:18.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import furthest_point_sample, gather_points, group_points, knn_point
+from .blocks import MLP, Dense, leaky
+from .pointconv import group_knn, weighted_contract
+from .vn_layers import VNLinearLeakyReLU, VNMaxPool
+from .weightnet import WeightNet
+
+
+class PointConvSVD(nn.Module):
+    """PointConv with a rank-factorized output linear
+    (pointconv_util.py:312-355: Linear(W·C → out/2) → Linear(out/2 → out))."""
+
+    nsample: int
+    out_channel: int
+    weightnet: int = 16
+
+    @nn.compact
+    def __call__(self, xyz, feats):
+        grouped, rel = group_knn(self.nsample, xyz, xyz, feats)
+        w = WeightNet(self.weightnet)(rel)
+        y = weighted_contract(grouped, w)
+        y = Dense(self.out_channel // 2)(y)
+        y = Dense(self.out_channel)(y)
+        return leaky(y)
+
+
+class PointConvBias(nn.Module):
+    """PointConv with a learned additive bias on the contracted (C, W) block
+    and a sum-over-W aggregation (pointconv_util.py:356-400)."""
+
+    nsample: int
+    out_channel: int
+    weightnet: int = 16
+
+    @nn.compact
+    def __call__(self, xyz, feats):
+        grouped, rel = group_knn(self.nsample, xyz, xyz, feats)
+        w = WeightNet(self.weightnet)(rel)
+        B, S, _, C = grouped.shape
+        y = jnp.einsum("bskc,bskw->bscw", grouped, w,
+                       preferred_element_type=jnp.float32).astype(grouped.dtype)
+        bias = self.param("bias", nn.initializers.normal(1.0),
+                          (1, 1, C, self.weightnet), jnp.float32)
+        y = leaky(y + bias.astype(y.dtype))
+        y = jnp.swapaxes(y, -1, -2)                     # (B, S, W, C)
+        y = jnp.sum(Dense(self.out_channel)(y), axis=-2)
+        return leaky(y)
+
+
+class PointConvFactor(nn.Module):
+    """Factorized PointConv (pointconv_util.py:260-312): the contracted
+    (2C, W) block is mixed by two grouped pointwise convs instead of one big
+    linear. Width bookkeeping follows the reference's reshape chain."""
+
+    nsample: int
+    out_channel: int
+    weightnet: int = 16
+
+    @nn.compact
+    def __call__(self, xyz, feats):
+        grouped, rel = group_knn(self.nsample, xyz, xyz, feats)
+        w = WeightNet(self.weightnet)(rel)
+        B, S, _, C = grouped.shape
+        y = jnp.einsum("bskc,bskw->bscw", grouped, w,
+                       preferred_element_type=jnp.float32).astype(grouped.dtype)
+        # reference views the C axis as 2C half-width rows (:295)
+        y = y.reshape(B, S, 2 * C, self.weightnet // 2)
+        y = leaky(Dense(self.out_channel // 2)(jnp.swapaxes(y, -1, -2)))
+        y = leaky(Dense(32)(y))                          # w2: 64→32 (:268)
+        return y.reshape(B, S, -1)
+
+
+class _KernelAgg(nn.Module):
+    """Shared body of PointConvK / SepConv (pointconv_util.py:535-692):
+    per-neighborhood learned kernel (C→out), bilinear aggregation
+    kernelᵀ·feats → (out, C), 1-channel reduction over C, output linear."""
+
+    nsample: int
+    out_channel: int
+
+    @nn.compact
+    def __call__(self, xyz, feats):
+        grouped, _ = group_knn(self.nsample, xyz, xyz, feats)  # (B,S,K,3+C)
+        kernel = leaky(nn.BatchNorm(use_running_average=True)(
+            Dense(self.out_channel, use_bias=False)(grouped)))
+        # (B,S,out,K) @ (B,S,K,C) → (B,S,out,C)
+        agg = jnp.einsum("bsko,bskc->bsoc", kernel, grouped,
+                         preferred_element_type=jnp.float32
+                         ).astype(grouped.dtype)
+        agg = leaky(nn.BatchNorm(use_running_average=True)(
+            Dense(1, use_bias=False)(agg)))[..., 0]
+        return leaky(Dense(self.out_channel)(agg))
+
+
+class PointConvK(_KernelAgg):
+    """pointconv_util.py:535-591."""
+
+
+class SepConv(_KernelAgg):
+    """pointconv_util.py:638-692 (same computation, separate weights)."""
+
+
+class VNNConvD(nn.Module):
+    """Vector-neuron downsampling conv (pointconv_util.py:497-533): group the
+    (3+C)-dim rows as vector channels of 3-vectors, VN linear+leaky, VN max
+    pool over the neighborhood."""
+
+    npoint: int
+    nsample: int
+    out_channel: int
+
+    @nn.compact
+    def __call__(self, xyz, feats, train: bool = True):
+        fps_idx = furthest_point_sample(xyz, self.npoint)
+        new_xyz = gather_points(xyz, fps_idx)
+        grouped, _ = group_knn(self.nsample, xyz, new_xyz, feats)
+        B, S, K, D = grouped.shape
+        # (B, S, K, D//3 vector channels, 3)
+        v = grouped.reshape(B, S, K, D // 3, 3)
+        v = VNLinearLeakyReLU(self.out_channel, use_batchnorm=False)(
+            v, train=train)
+        pooled = VNMaxPool()(v)                          # over K → (B,S,out,3)
+        return new_xyz, pooled.reshape(B, S, -1), fps_idx
+
+
+class PointConvFlow(nn.Module):
+    """PointPWC patch-to-patch cost volume (pointconv_util.py:2039-2112):
+    point-to-patch MLP cost weighted by WeightNet(Δxyz), then a second
+    WeightNet-weighted aggregation over the self-neighborhood."""
+
+    nsample: int
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, xyz1, xyz2, points1, points2):
+        knn_idx = knn_point(self.nsample, xyz2, xyz1)
+        neighbor_xyz = group_points(xyz2, knn_idx)
+        direction = neighbor_xyz - xyz1[:, :, None, :]
+        g2 = group_points(points2, knn_idx)
+        g1 = jnp.broadcast_to(points1[:, :, None, :],
+                              g2.shape[:3] + (points1.shape[-1],))
+        new_points = jnp.concatenate([g1, g2, direction], axis=-1)
+        for ch in self.mlp:
+            new_points = leaky(Dense(ch)(new_points))
+        w1 = WeightNet(self.mlp[-1], name="weightnet1")(direction)
+        p2p = jnp.sum(w1 * new_points, axis=2)            # (B, N1, C)
+
+        knn_self = knn_point(self.nsample, xyz1, xyz1)
+        self_xyz = group_points(xyz1, knn_self)
+        dir_self = self_xyz - xyz1[:, :, None, :]
+        w2 = WeightNet(self.mlp[-1], name="weightnet2")(dir_self)
+        grouped_cost = group_points(p2p, knn_self)
+        return jnp.sum(w2 * grouped_cost, axis=2)
+
+
+class CrossLayerConcat(nn.Module):
+    """Concat-style bidirectional cost volume — the reference's `CrossLayer`
+    (pointconv_util.py:1401-1473): [g1 ⊕ g2 ⊕ Δxyz] → MLP → maxpool,
+    bidirectional round then a fusion round."""
+
+    nsample: int
+    mlp1: Sequence[int]
+    mlp2: Optional[Sequence[int]] = None
+
+    def _cross(self, xyz1, xyz2, points1, points2, mlp):
+        knn_idx = knn_point(self.nsample, xyz2, xyz1)
+        neighbor_xyz = group_points(xyz2, knn_idx)
+        direction = neighbor_xyz - xyz1[:, :, None, :]
+        g2 = group_points(points2, knn_idx)
+        g1 = jnp.broadcast_to(points1[:, :, None, :],
+                              g2.shape[:3] + (points1.shape[-1],))
+        h = jnp.concatenate([g1, g2, direction], axis=-1)
+        for layer in mlp:
+            h = leaky(layer(h))
+        return jnp.max(h, axis=2)
+
+    @nn.compact
+    def __call__(self, pc1, pc2, feat1, feat2):
+        mlp1 = [Dense(c) for c in self.mlp1]
+        f1 = self._cross(pc1, pc2, feat1, feat2, mlp1)
+        f2 = self._cross(pc2, pc1, feat2, feat1, mlp1)
+        if self.mlp2 is None:
+            return f1, f2
+        mlp2 = [Dense(c) for c in self.mlp2]
+        f_final = self._cross(pc1, pc2, f1, f2, mlp2)
+        return f1, f2, f_final
+
+
+class CrossConvLayer(nn.Module):
+    """WeightNet-weighted cross conv (pointconv_util2.py:1332-1400): grouped
+    [g1 ⊕ g2] contracted with WeightNet(Δxyz) weights, then a linear — a
+    PointConv whose neighborhood lives in the other cloud."""
+
+    nsample: int
+    mid_channel: int
+    out_channel: Optional[int] = None
+    weightnet: int = 16
+
+    def _cross(self, xyz1, xyz2, points1, points2, wnet, linear):
+        knn_idx = knn_point(self.nsample, xyz2, xyz1)
+        neighbor_xyz = group_points(xyz2, knn_idx)
+        direction = neighbor_xyz - xyz1[:, :, None, :]
+        g2 = group_points(points2, knn_idx)
+        g1 = jnp.broadcast_to(points1[:, :, None, :],
+                              g2.shape[:3] + (points1.shape[-1],))
+        grouped = jnp.concatenate([g1, g2], axis=-1)
+        w = wnet(direction)
+        return leaky(linear(weighted_contract(grouped, w)))
+
+    @nn.compact
+    def __call__(self, pc1, pc2, feat1, feat2):
+        wnet1 = WeightNet(self.weightnet, name="weightnet1")
+        lin1 = Dense(self.mid_channel, name="linear1")
+        f1 = self._cross(pc1, pc2, feat1, feat2, wnet1, lin1)
+        f2 = self._cross(pc2, pc1, feat2, feat1, wnet1, lin1)
+        if self.out_channel is None:
+            return f1, f2
+        wnet2 = WeightNet(self.weightnet, name="weightnet2")
+        lin2 = Dense(self.out_channel, name="linear2")
+        f_final = self._cross(pc1, pc2, f1, f2, wnet2, lin2)
+        return f1, f2, f_final
+
+
+class FlowEmbeddingLayer(nn.Module):
+    """FlowNet3D-style flow embedding (pointconv_util.py:1474-1518): one
+    direction, concat grouping, MLP, maxpool."""
+
+    nsample: int
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, pc1, pc2, feat1, feat2):
+        knn_idx = knn_point(self.nsample, pc2, pc1)
+        neighbor_xyz = group_points(pc2, knn_idx)
+        direction = neighbor_xyz - pc1[:, :, None, :]
+        g2 = group_points(feat2, knn_idx)
+        g1 = jnp.broadcast_to(feat1[:, :, None, :],
+                              g2.shape[:3] + (feat1.shape[-1],))
+        h = jnp.concatenate([g1, g2, direction], axis=-1)
+        h = MLP(self.mlp)(h)
+        return jnp.max(h, axis=2)
+
+
+class LocalFeatureAggregation(nn.Module):
+    """RandLA-Net-style attentive local aggregation
+    (pointconv_util.py:760-828): positional encoding of the neighborhood,
+    concat with grouped features, softmax attention pooling."""
+
+    nsample: int
+    out_channel: int
+
+    @nn.compact
+    def __call__(self, xyz, feats):
+        knn_idx = knn_point(self.nsample, xyz, xyz)
+        neighbor_xyz = group_points(xyz, knn_idx)
+        rel = neighbor_xyz - xyz[:, :, None, :]
+        dist = jnp.linalg.norm(rel, axis=-1, keepdims=True)
+        center = jnp.broadcast_to(xyz[:, :, None, :], neighbor_xyz.shape)
+        pos_enc = leaky(Dense(self.out_channel // 2)(jnp.concatenate(
+            [center, neighbor_xyz, rel, dist], axis=-1)))
+        g = group_points(leaky(Dense(self.out_channel // 2)(feats)), knn_idx)
+        h = jnp.concatenate([pos_enc, g], axis=-1)
+        att = jax.nn.softmax(Dense(h.shape[-1], use_bias=False)(h), axis=2)
+        agg = jnp.sum(att * h, axis=2)
+        return leaky(Dense(self.out_channel)(agg))
+
+
+class SetAbstract(nn.Module):
+    """PointNet++-style set abstraction, same-resolution
+    (pointconv_util.py:829-1092 family): kNN group → pointwise MLP → maxpool."""
+
+    nsample: int
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, xyz, feats):
+        grouped, _ = group_knn(self.nsample, xyz, xyz, feats)
+        h = MLP(self.mlp)(grouped)
+        return jnp.max(h, axis=2)
+
+
+class SetAbstractD(nn.Module):
+    """Downsampling set abstraction (FPS + group + MLP + maxpool)."""
+
+    npoint: int
+    nsample: int
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, xyz, feats):
+        fps_idx = furthest_point_sample(xyz, self.npoint)
+        new_xyz = gather_points(xyz, fps_idx)
+        grouped, _ = group_knn(self.nsample, xyz, new_xyz, feats)
+        h = MLP(self.mlp)(grouped)
+        return new_xyz, jnp.max(h, axis=2), fps_idx
+
+
+class CrossLayerLightUp(nn.Module):
+    """Cross-resolution cross layer (pointconv_util.py:1959-2037): queries a
+    dense cloud against a sparse one with asymmetric projections."""
+
+    nsample: int
+    mlp1: Sequence[int]
+
+    @nn.compact
+    def __call__(self, pc_dense, pc_sparse, feat_dense, feat_sparse):
+        t_dense = Dense(self.mlp1[0], name="cross_td")(feat_dense)
+        t_sparse = Dense(self.mlp1[0], name="cross_ts")(feat_sparse)
+        pos = Dense(self.mlp1[0], name="pos")
+        knn_idx = knn_point(self.nsample, pc_sparse, pc_dense)
+        neighbor_xyz = group_points(pc_sparse, knn_idx)
+        direction = neighbor_xyz - pc_dense[:, :, None, :]
+        g = group_points(t_sparse, knn_idx)
+        h = leaky(g + t_dense[:, :, None, :] + pos(direction))
+        h = MLP(self.mlp1[1:])(h)
+        return jnp.max(h, axis=2)

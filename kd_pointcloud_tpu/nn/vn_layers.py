@@ -86,11 +86,12 @@ class VNMaxPool(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: (..., K, F, 3)
+        # x: (..., K, F, 3) — pool over the K axis
         d = _channel_linear(x, x.shape[-2], "dir_kernel", self)
         dot = jnp.sum(x * d, axis=-1)                     # (..., K, F)
-        idx = jnp.argmax(dot, axis=-3, keepdims=True)     # over K
-        return jnp.take_along_axis(x, idx[..., None], axis=-3).squeeze(-3)
+        idx = jnp.argmax(dot, axis=-2, keepdims=True)     # over K
+        picked = jnp.take_along_axis(x, idx[..., None], axis=-3)
+        return picked.squeeze(-3)
 
 
 def vn_mean_pool(x, axis=-3):
