@@ -22,6 +22,8 @@ from typing import Callable, List, Optional
 
 import numpy as np
 
+from . import native_io
+
 # The reference repo bundles the processed KITTI scenes + mapping file; use
 # them as the default data root so eval runs need no downloads.
 DEFAULT_KITTI_ROOT = "/root/reference/datasets"
@@ -87,8 +89,9 @@ class FlyingThings3DSubset(PointCloudDataset):
         self.samples = paths
 
     def pc_loader(self, path: str):
-        pc1 = np.load(osp.join(path, "pc1.npy"))
-        pc2 = np.load(osp.join(path, "pc2.npy"))
+        pc1, pc2 = native_io.read_batch([osp.join(path, "pc1.npy"),
+                                         osp.join(path, "pc2.npy")],
+                                        n_threads=2)
         # subset-dataset sign flips (flyingthings3d_subset.py:99-103)
         for pc in (pc1, pc2):
             pc[..., -1] *= -1
@@ -124,8 +127,9 @@ class KITTI(PointCloudDataset):
                         if lines[int(osp.split(p)[-1])] != ""]
 
     def pc_loader(self, path: str):
-        pc1 = np.load(osp.join(path, "pc1.npy"))
-        pc2 = np.load(osp.join(path, "pc2.npy"))
+        pc1, pc2 = native_io.read_batch([osp.join(path, "pc1.npy"),
+                                         osp.join(path, "pc2.npy")],
+                                        n_threads=2)
         if self.remove_ground:
             is_ground = np.logical_and(pc1[:, 1] < -1.4, pc2[:, 1] < -1.4)
             keep = np.logical_not(is_ground)

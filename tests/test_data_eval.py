@@ -126,3 +126,20 @@ class TestKitti:
         np.testing.assert_allclose(flow_pred, flow_gt, atol=1e-4)
         intr = read_kitti_intrinsics(osp.split(path)[-1])
         assert intr["f"] < 0 and intr["cx"] > 0
+
+
+class TestNativeIO:
+    def test_matches_numpy(self, rng, tmp_path):
+        import os.path as osp
+        from kd_pointcloud_tpu.data import native_io
+        arr32 = rng.rand(100, 3).astype(np.float32)
+        arr64 = rng.rand(50, 3)
+        p32, p64 = str(tmp_path / "a.npy"), str(tmp_path / "b.npy")
+        np.save(p32, arr32)
+        np.save(p64, arr64)
+        np.testing.assert_array_equal(native_io.npy_read(p32), arr32)
+        np.testing.assert_allclose(native_io.npy_read(p64),
+                                   arr64.astype(np.float32), rtol=1e-6)
+        outs = native_io.read_batch([p32, p64])
+        np.testing.assert_array_equal(outs[0], arr32)
+        assert native_io.npy_info(p32) == (100, 3)
