@@ -33,6 +33,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..nn.blocks import BottleNeck, PointwiseBlock
@@ -60,14 +61,15 @@ class BidPointFlowNet(nn.Module):
                if cfg.nonlinear_downsample and lvl >= 3 else PointConvD)
         return cls(cfg.npoints[lvl], cfg.feat_nei, cfg.level_channels[lvl],
                    weightnet=cfg.weightnet[lvl], knn_method=cfg.knn_method,
-                   knn_recall=cfg.knn_recall, name=name)
+                   knn_recall=cfg.knn_recall,
+                   knn_precision=cfg.knn_precision, name=name)
 
     def _cross(self, lvl: int, name: str):
         cfg = self.cfg
         c = cfg.level_channels[lvl]
         mlp = (c, c)
         kw = dict(knn_method=cfg.knn_method, knn_recall=cfg.knn_recall,
-                  name=name)
+                  knn_precision=cfg.knn_precision, name=name)
         if cfg.cross == "light":
             return CrossLayerLight(cfg.flow_nei, mlp, mlp, **kw)
         if cfg.cross == "fg":
@@ -81,7 +83,7 @@ class BidPointFlowNet(nn.Module):
     def _flow_head(self, lvl: int, name: str):
         cfg = self.cfg
         kw = dict(knn_method=cfg.knn_method, knn_recall=cfg.knn_recall,
-                  name=name)
+                  knn_precision=cfg.knn_precision, name=name)
         if lvl == 0:
             return SceneFlowEstimatorResidual(
                 channels=cfg.flow0_channels, mlp=cfg.flow0_mlp,
@@ -108,7 +110,9 @@ class BidPointFlowNet(nn.Module):
             level0_pc = PointConv(cfg.feat_nei, C[0],
                                   weightnet=cfg.weightnet[0],
                                   knn_method=cfg.knn_method,
-                                  knn_recall=cfg.knn_recall, name="level0")
+                                  knn_recall=cfg.knn_recall,
+                                  knn_precision=cfg.knn_precision,
+                                  name="level0")
             level0_2 = PointwiseBlock(L[0], name="level0_1")
 
         level1 = self._downsample(1, "level1")
@@ -158,12 +162,21 @@ class BidPointFlowNet(nn.Module):
                         idx=[idx1, idx2, idx3])
 
         upsample = functools.partial(upsample_idw, method=cfg.knn_method,
-                                     recall=cfg.knn_recall)
+                                     recall=cfg.knn_recall,
+                                     precision=cfg.knn_precision)
         warp = functools.partial(point_warp, method=cfg.knn_method,
-                                 recall=cfg.knn_recall)
+                                 recall=cfg.knn_recall,
+                                 precision=cfg.knn_precision)
 
-        e1 = encode(xyz1, color1)
-        e2 = encode(xyz2, color2)
+        # encode both clouds STACKED along batch: shared weights mean one
+        # pass at 2B does the work of two at B — half the dispatches, double
+        # the MXU occupancy at eval bs=1, and both clouds' FPS sweeps ride a
+        # single Pallas program (the kernel vectorizes batch across sublanes)
+        B = xyz1.shape[0]
+        e_both = encode(jnp.concatenate([xyz1, xyz2], axis=0),
+                        jnp.concatenate([color1, color2], axis=0))
+        e1 = jax.tree_util.tree_map(lambda a: a[:B], e_both)
+        e2 = jax.tree_util.tree_map(lambda a: a[B:], e_both)
         pc1, pc2 = e1["pc"], e2["pc"]
 
         def cross_call(lvl, xa, xb, fa, fb):
@@ -172,9 +185,12 @@ class BidPointFlowNet(nn.Module):
                                       e1["feat"][lvl], e2["feat"][lvl])
             return crosses_m[lvl](xa, xb, fa, fb)
 
-        # ---------------- l4 → l3 skip
-        f1_l4_3 = deconv4_3(upsample(pc1[3], pc1[4], e1["feat"][4]))
-        f2_l4_3 = deconv4_3(upsample(pc2[3], pc2[4], e2["feat"][4]))
+        # ---------------- l4 → l3 skip (both clouds stacked)
+        f_l4_3 = deconv4_3(upsample(
+            jnp.concatenate([pc1[3], pc2[3]], 0),
+            jnp.concatenate([pc1[4], pc2[4]], 0),
+            jnp.concatenate([e1["feat"][4], e2["feat"][4]], 0)))
+        f1_l4_3, f2_l4_3 = f_l4_3[:B], f_l4_3[B:]
 
         # ---------------- l3 (no warp at the coarsest cross level)
         if cfg.swap_interlevel:   # no_cross swaps clouds (models_bid_no_cross.py:121-122)
@@ -206,9 +222,12 @@ class BidPointFlowNet(nn.Module):
         # ---------------- l2, l1, l0 coarse-to-fine
         for lvl in (2, 1, 0):
             dec = deconvs[lvl]
-            # inter-level feature skip from lvl+1 → lvl
-            i1 = dec(upsample(pc1[lvl], pc1[lvl + 1], f1_up_src))
-            i2 = dec(upsample(pc2[lvl], pc2[lvl + 1], f2_up_src))
+            # inter-level feature skip from lvl+1 → lvl (both clouds stacked)
+            i_both = dec(upsample(
+                jnp.concatenate([pc1[lvl], pc2[lvl]], 0),
+                jnp.concatenate([pc1[lvl + 1], pc2[lvl + 1]], 0),
+                jnp.concatenate([f1_up_src, f2_up_src], 0)))
+            i1, i2 = i_both[:B], i_both[B:]
             inter1[lvl], inter2[lvl] = i1, i2
             if cfg.swap_interlevel:
                 c_feat1 = jnp.concatenate([e1["feat"][lvl], i2], -1)
@@ -217,9 +236,10 @@ class BidPointFlowNet(nn.Module):
                 c_feat1 = jnp.concatenate([e1["feat"][lvl], i1], -1)
                 c_feat2 = jnp.concatenate([e2["feat"][lvl], i2], -1)
 
-            up_flow = upsample(pc1[lvl], pc1[lvl + 1],
-                                   cfg.scale * up_flow_src)
-            feat_up = upsample(pc1[lvl], pc1[lvl + 1], up_feat)
+            # flow + feature share the same source geometry → one IDW kNN
+            both_up = upsample(pc1[lvl], pc1[lvl + 1], jnp.concatenate(
+                [cfg.scale * up_flow_src, up_feat], axis=-1))
+            up_flow, feat_up = both_up[..., :3], both_up[..., 3:]
 
             iter_flows, iter_cfeats1, iter_cfeats2 = [], [], []
             for _ in range(cfg.iters):

@@ -66,6 +66,9 @@ class ModelConfig:
     # bit-parity testing. Consumers are permutation-invariant either way.
     knn_method: str = "approx"
     knn_recall: float = 0.95
+    # distance-matmul precision on the cost-volume/grouping path; FPS and
+    # the exact-parity path stay at "highest"
+    knn_precision: str = "default"
 
     @property
     def returns_c_feats(self) -> bool:

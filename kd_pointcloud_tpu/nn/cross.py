@@ -30,7 +30,7 @@ from .blocks import MLP, Dense, leaky
 
 def _cross_pool(nsample, xyz1, xyz2, points1, points2, pos, mlp,
                 *, knn_idx=None, method: str = "exact", recall: float = 0.95,
-                return_neighbors: bool = False):
+                precision: str = "highest", return_neighbors: bool = False):
     """One cost-volume direction (reference `cross`, pointconv_util.py:1826-1852).
 
     xyz*: (B, N*, 3); points*: (B, N*, D) already projected to mlp width.
@@ -39,8 +39,8 @@ def _cross_pool(nsample, xyz1, xyz2, points1, points2, pos, mlp,
     direction (the reference recomputes it, pointconv_util.py:1836).
     """
     if knn_idx is None:
-        knn_idx = knn_point(nsample, xyz2, xyz1,
-                            method=method, recall=recall)  # (B, N1, K)
+        knn_idx = knn_point(nsample, xyz2, xyz1, method=method,
+                            recall=recall, precision=precision)  # (B, N1, K)
     neighbor_xyz = group_points(xyz2, knn_idx)
     direction_xyz = neighbor_xyz - xyz1[:, :, None, :]
 
@@ -69,6 +69,7 @@ class CrossLayerLight(nn.Module):
     mlp2: Optional[Sequence[int]] = None
     knn_method: str = "exact"
     knn_recall: float = 0.95
+    knn_precision: str = "highest"
 
     @nn.compact
     def __call__(self, pc1, pc2, feat1, feat2):
@@ -80,9 +81,11 @@ class CrossLayerLight(nn.Module):
         # one kNN per direction, shared by both rounds (the reference runs
         # three identical-geometry kNNs per layer)
         idx12 = knn_point(self.nsample, pc2, pc1, method=self.knn_method,
-                          recall=self.knn_recall)
+                          recall=self.knn_recall,
+                          precision=self.knn_precision)
         idx21 = knn_point(self.nsample, pc1, pc2, method=self.knn_method,
-                          recall=self.knn_recall)
+                          recall=self.knn_recall,
+                          precision=self.knn_precision)
 
         feat1_new = _cross_pool(self.nsample, pc1, pc2, cross_t11(feat1),
                                 cross_t22(feat2), pos1, mlp1, knn_idx=idx12)
@@ -116,15 +119,18 @@ class CrossLayerLightFG(nn.Module):
     mlp2: Sequence[int]
     knn_method: str = "exact"
     knn_recall: float = 0.95
+    knn_precision: str = "highest"
 
     def _fg_idx(self, xyz1, xyz2, fg1, fg2):
         """Union of feature-space and euclidean kNN (pointconv_util.py:1921-1926).
         Identical for both rounds of a direction — computed once."""
         half = self.nsample // 2
         idx_f = knn_point(half, fg2, fg1, method=self.knn_method,
-                          recall=self.knn_recall)          # feature-space kNN
+                          recall=self.knn_recall,
+                          precision=self.knn_precision)          # feature-space kNN
         idx_e = knn_point(half, xyz2, xyz1, method=self.knn_method,
-                          recall=self.knn_recall)          # euclidean kNN
+                          recall=self.knn_recall,
+                          precision=self.knn_precision)          # euclidean kNN
         return jnp.concatenate([idx_f, idx_e], axis=-1)    # (B, N1, K)
 
     def _fg_pool(self, idx, xyz1, xyz2, points1, points2, pos, mlp):
@@ -173,6 +179,7 @@ class NoCrossLayerLight(nn.Module):
     mlp1: Sequence[int]
     knn_method: str = "exact"
     knn_recall: float = 0.95
+    knn_precision: str = "highest"
 
     @nn.compact
     def __call__(self, pc1, pc2, feat1, feat2):
@@ -182,7 +189,8 @@ class NoCrossLayerLight(nn.Module):
         mlp = MLP(self.mlp1[1:], name="mlp")
         return _cross_pool(self.nsample, pc1, pc2, cross_t1(feat1),
                            cross_t2(feat2), pos, mlp,
-                           method=self.knn_method, recall=self.knn_recall)
+                           method=self.knn_method, recall=self.knn_recall,
+                           precision=self.knn_precision)
 
 
 class CrossLayerLightVote(nn.Module):
@@ -196,6 +204,7 @@ class CrossLayerLightVote(nn.Module):
     mlp2: Sequence[int]
     knn_method: str = "exact"
     knn_recall: float = 0.95
+    knn_precision: str = "highest"
 
     @nn.compact
     def __call__(self, pc1, pc2, feat1, feat2):
@@ -205,9 +214,11 @@ class CrossLayerLightVote(nn.Module):
         mlp1 = MLP(self.mlp1[1:], name="mlp1")
 
         idx12 = knn_point(self.nsample, pc2, pc1, method=self.knn_method,
-                          recall=self.knn_recall)
+                          recall=self.knn_recall,
+                          precision=self.knn_precision)
         idx21 = knn_point(self.nsample, pc1, pc2, method=self.knn_method,
-                          recall=self.knn_recall)
+                          recall=self.knn_recall,
+                          precision=self.knn_precision)
 
         feat1_new = _cross_pool(self.nsample, pc1, pc2, cross_t11(feat1),
                                 cross_t22(feat2), pos1, mlp1, knn_idx=idx12)

@@ -33,6 +33,7 @@ class SceneFlowEstimatorResidual(nn.Module):
     weightnet: int = 16
     knn_method: str = "exact"
     knn_recall: float = 0.95
+    knn_precision: str = "highest"
 
     @nn.compact
     def __call__(self, xyz, feats, cost_volume, flow: Optional[jnp.ndarray] = None,
@@ -40,7 +41,8 @@ class SceneFlowEstimatorResidual(nn.Module):
         x = jnp.concatenate([feats, cost_volume], axis=-1)
         # one self-kNN shared by the whole PointConv stack (same xyz)
         idx = knn_point(self.neighbors, xyz, xyz, method=self.knn_method,
-                        recall=self.knn_recall)
+                        recall=self.knn_recall,
+                        precision=self.knn_precision)
         for ch in self.channels:
             x = PointConv(self.neighbors, ch, weightnet=self.weightnet,
                           bn=True)(xyz, x, train=train, knn_idx=idx)
@@ -58,6 +60,7 @@ class SceneFlowEstimatorPointConv(nn.Module):
     weightnet: int = 16
     knn_method: str = "exact"
     knn_recall: float = 0.95
+    knn_precision: str = "highest"
 
     @nn.compact
     def __call__(self, xyz, feats, cost_volume, flow: Optional[jnp.ndarray] = None,
@@ -65,7 +68,8 @@ class SceneFlowEstimatorPointConv(nn.Module):
         parts = [feats, cost_volume] if flow is None else [feats, cost_volume, flow]
         x = jnp.concatenate(parts, axis=-1)
         idx = knn_point(self.neighbors, xyz, xyz, method=self.knn_method,
-                        recall=self.knn_recall)
+                        recall=self.knn_recall,
+                        precision=self.knn_precision)
         for ch in self.channels:
             x = PointConv(self.neighbors, ch, weightnet=self.weightnet,
                           bn=True)(xyz, x, train=train, knn_idx=idx)
@@ -87,6 +91,7 @@ class SceneFlowEstimatorResidualIter(nn.Module):
     iters: int = 3
     knn_method: str = "exact"
     knn_recall: float = 0.95
+    knn_precision: str = "highest"
 
     @nn.compact
     def __call__(self, xyz, feats, cost_volume, flow: Optional[jnp.ndarray] = None,
@@ -96,7 +101,8 @@ class SceneFlowEstimatorResidualIter(nn.Module):
         mlp = MLP(self.mlp)
         fc = Dense(3)
         idx = knn_point(self.neighbors, xyz, xyz, method=self.knn_method,
-                        recall=self.knn_recall)
+                        recall=self.knn_recall,
+                        precision=self.knn_precision)
         x = jnp.concatenate([feats, cost_volume], axis=-1)
         for _ in range(self.iters):
             h = x

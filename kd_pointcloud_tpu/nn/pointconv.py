@@ -26,7 +26,7 @@ from .weightnet import WeightNet
 
 
 def group_knn(nsample: int, xyz, query_xyz, feats, method: str = "exact",
-              recall: float = 0.95, idx=None):
+              recall: float = 0.95, idx=None, precision: str = "highest"):
     """kNN-group `feats` (and relative coords) of `xyz` around `query_xyz`.
 
     Returns (grouped [B,S,K,3+C], rel_xyz [B,S,K,3]).
@@ -34,7 +34,8 @@ def group_knn(nsample: int, xyz, query_xyz, feats, method: str = "exact",
     `idx` lets callers share one kNN across several convs on the same clouds.
     """
     if idx is None:
-        idx = knn_point(nsample, xyz, query_xyz, method=method, recall=recall)
+        idx = knn_point(nsample, xyz, query_xyz, method=method, recall=recall,
+                        precision=precision)
     g_xyz = group_points(xyz, idx)                     # (B, S, K, 3)
     rel = g_xyz - query_xyz[:, :, None, :]
     g_feat = group_points(feats, idx)                  # (B, S, K, C)
@@ -61,11 +62,13 @@ class PointConv(nn.Module):
     bn: bool = False
     knn_method: str = "exact"
     knn_recall: float = 0.95
+    knn_precision: str = "highest"
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True, knn_idx=None):
         grouped, rel = group_knn(self.nsample, xyz, xyz, feats,
-                                 self.knn_method, self.knn_recall, knn_idx)
+                                 self.knn_method, self.knn_recall, knn_idx,
+                                 precision=self.knn_precision)
         w = WeightNet(self.weightnet)(rel)
         y = weighted_contract(grouped, w)
         y = Dense(self.out_channel)(y)
@@ -85,13 +88,15 @@ class PointConvD(nn.Module):
     bn: bool = False
     knn_method: str = "exact"
     knn_recall: float = 0.95
+    knn_precision: str = "highest"
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True):
         fps_idx = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, fps_idx)
         grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats,
-                                 self.knn_method, self.knn_recall)
+                                 self.knn_method, self.knn_recall,
+                                 precision=self.knn_precision)
         w = WeightNet(self.weightnet)(rel)
         y = weighted_contract(grouped, w)
         y = Dense(self.out_channel)(y)
@@ -114,13 +119,15 @@ class PointConvNonLinear(nn.Module):
     weightnet: int = 16
     knn_method: str = "exact"
     knn_recall: float = 0.95
+    knn_precision: str = "highest"
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True):
         fps_idx = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, fps_idx)
         grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats,
-                                 self.knn_method, self.knn_recall)
+                                 self.knn_method, self.knn_recall,
+                                 precision=self.knn_precision)
         w = WeightNet(self.weightnet)(rel)
         # keep (B, S, C, W) unflattened: reference permutes to (B, C, W, S)
         B, S, _, C = grouped.shape
@@ -151,6 +158,7 @@ class PointConvDRand(nn.Module):
     weightnet: int = 16
     knn_method: str = "exact"
     knn_recall: float = 0.95
+    knn_precision: str = "highest"
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True):
@@ -160,7 +168,8 @@ class PointConvDRand(nn.Module):
             (B, self.npoint))
         new_xyz = gather_points(xyz, idx)
         grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats,
-                                 self.knn_method, self.knn_recall)
+                                 self.knn_method, self.knn_recall,
+                                 precision=self.knn_precision)
         w = WeightNet(self.weightnet)(rel)
         y = weighted_contract(grouped, w)
         y = Dense(self.out_channel)(y)

@@ -11,7 +11,8 @@ import jax
 import jax.numpy as jnp
 
 
-def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray,
+                    precision: str = "highest") -> jnp.ndarray:
     """Squared Euclidean distance between every (src, dst) point pair.
 
     Args:
@@ -22,12 +23,16 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
       (..., N, M) squared distances.
     """
     # ||x - y||^2 = ||x||^2 + ||y||^2 - 2 x·y  — the cross term rides the MXU.
-    # precision=HIGHEST: neighbor selection (kNN/FPS downstream) is sensitive
-    # to the distance values; default TPU matmul precision (bf16 passes) can
-    # flip near-ties.
+    # precision="highest" (default): neighbor selection downstream is
+    # sensitive to distance values; TPU default matmul precision (bf16
+    # passes) can flip near-ties. The model's cost-volume path opts into
+    # "default" (≈1.4x faster end to end, measured recall vs exact ≈0.97 —
+    # its consumers max-pool / IDW over K and tolerate a swapped neighbor).
     cross = jnp.matmul(src, jnp.swapaxes(dst, -1, -2),
                        preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=(jax.lax.Precision.HIGHEST
+                                  if precision == "highest"
+                                  else jax.lax.Precision.DEFAULT))
     s2 = jnp.sum(src.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
     d2 = jnp.sum(dst.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
     return s2 - 2.0 * cross + jnp.swapaxes(d2, -1, -2)

@@ -16,7 +16,8 @@ from .knn import knn_point_dist
 
 
 def three_nn(query: jnp.ndarray, ref: jnp.ndarray, *,
-             method: str = "exact", recall: float = 0.95):
+             method: str = "exact", recall: float = 0.95,
+             precision: str = "highest"):
     """3 nearest neighbors of each query point among ref.
 
     Args:
@@ -26,7 +27,8 @@ def three_nn(query: jnp.ndarray, ref: jnp.ndarray, *,
 
     Reference: interpolate_gpu.cu:9-52 (returns true distances, not squared).
     """
-    d2, idx = knn_point_dist(3, ref, query, method=method, recall=recall)
+    d2, idx = knn_point_dist(3, ref, query, method=method, recall=recall,
+                             precision=precision)
     return jnp.sqrt(jnp.maximum(d2, 0.0)), idx
 
 
@@ -47,7 +49,8 @@ def three_interpolate(feats: jnp.ndarray, idx: jnp.ndarray,
 
 def upsample_idw(dense_xyz: jnp.ndarray, sparse_xyz: jnp.ndarray,
                  sparse_feat: jnp.ndarray, *, method: str = "exact",
-                 recall: float = 0.95) -> jnp.ndarray:
+                 recall: float = 0.95,
+                 precision: str = "highest") -> jnp.ndarray:
     """Upsample per-point features from a sparse level to a dense level by
     3-NN inverse-distance weighting.
 
@@ -62,7 +65,7 @@ def upsample_idw(dense_xyz: jnp.ndarray, sparse_xyz: jnp.ndarray,
     (1/dist) normalized over the 3 neighbors, dist clamped at 1e-10.
     """
     d2, idx = knn_point_dist(3, sparse_xyz, dense_xyz, method=method,
-                             recall=recall)      # (B, N, 3)
+                             recall=recall, precision=precision)  # (B, N, 3)
     dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), 1e-10)
     inv = 1.0 / dist
     weight = inv / jnp.sum(inv, axis=-1, keepdims=True)

@@ -36,17 +36,18 @@ def _select_k(d: jnp.ndarray, k: int, method: str, recall: float):
     return -neg_d, idx
 
 
-def _chunk_topk(xyz, query_chunk, k, method, recall):
-    d = square_distance(query_chunk, xyz)            # (B, Q, N)
+def _chunk_topk(xyz, query_chunk, k, method, recall, precision):
+    d = square_distance(query_chunk, xyz, precision)  # (B, Q, N)
     dist, idx = _select_k(d, k, method, recall)
     return dist, idx.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("chunk", "method", "recall"))
+                   static_argnames=("chunk", "method", "recall", "precision"))
 def knn_point(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
               *, chunk: int | None = 2048, method: str = "exact",
-              recall: float = DEFAULT_RECALL) -> jnp.ndarray:
+              recall: float = DEFAULT_RECALL,
+              precision: str = "highest") -> jnp.ndarray:
     """Indices of the k nearest points in `xyz` for each point in `query`.
 
     Args:
@@ -64,24 +65,24 @@ def knn_point(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
     Reference semantics: pointconv_util.py:96-107 (unsorted smallest-k).
     """
     return knn_point_dist(k, xyz, query, chunk=chunk, method=method,
-                          recall=recall)[1]
+                          recall=recall, precision=precision)[1]
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("chunk", "method", "recall"))
+                   static_argnames=("chunk", "method", "recall", "precision"))
 def knn_point_dist(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
                    *, chunk: int | None = 2048, method: str = "exact",
-                   recall: float = DEFAULT_RECALL):
+                   recall: float = DEFAULT_RECALL, precision: str = "highest"):
     """Like knn_point but also returns the squared distances (B, S, k)."""
     B, S, _ = query.shape
     if chunk is None or S <= chunk or S % chunk != 0:
-        return _chunk_topk(xyz, query, k, method, recall)
+        return _chunk_topk(xyz, query, k, method, recall, precision)
 
     n_chunks = S // chunk
     q = query.reshape(B, n_chunks, chunk, query.shape[-1])
 
     def scan_body(carry, q_chunk):
-        d, idx = _chunk_topk(xyz, q_chunk, k, method, recall)
+        d, idx = _chunk_topk(xyz, q_chunk, k, method, recall, precision)
         return carry, (d, idx)
 
     _, (d, idx) = jax.lax.scan(scan_body, None, jnp.swapaxes(q, 0, 1))

@@ -15,7 +15,8 @@ from .knn import knn_point_dist
 
 def point_warp(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
                flow1: jnp.ndarray | None, *, method: str = "exact",
-               recall: float = 0.95) -> jnp.ndarray:
+               recall: float = 0.95,
+               precision: str = "highest") -> jnp.ndarray:
     """Warp xyz2 backward along flow1.
 
     Args:
@@ -32,7 +33,7 @@ def point_warp(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
     xyz1_to_2 = xyz1 + flow1
     # 3-NN of each xyz2 point among the flowed xyz1 points.
     d2, idx = knn_point_dist(3, xyz1_to_2, xyz2, method=method,
-                             recall=recall)            # (B, N2, 3)
+                             recall=recall, precision=precision)  # (B, N2, 3)
     # The reference recomputes dist from the gathered offsets; numerically
     # identical to sqrt of the knn distances, clamp matches :2133.
     dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), 1e-10)

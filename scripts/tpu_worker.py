@@ -12,6 +12,8 @@ functions persist between jobs. Writing /tmp/tpuq/QUIT stops the worker.
 """
 
 import io
+import sys
+sys.path.insert(0, "/root/repo")
 import os
 import sys
 import time
