@@ -331,3 +331,200 @@ class CrossLayerLightUp(nn.Module):
         h = leaky(g + t_dense[:, :, None, :] + pos(direction))
         h = MLP(self.mlp1[1:])(h)
         return jnp.max(h, axis=2)
+
+
+class PointWarpingSimple:
+    """xyz2 − flow1 (pointconv_util.py:2144-2149) — callable, no params."""
+
+    def __call__(self, xyz1, xyz2, flow1):
+        return xyz2 - flow1
+
+
+class CrossTransLayer(nn.Module):
+    """Global-attention cross layer (pointconv_util.py:1592-1641): shared q/k
+    projection, full N1×N2 attention both ways, value = [xyz ⊕ feats],
+    residual add; optional FlowEmbedding fusion."""
+
+    nsample: int
+    mlp: Sequence[int]
+    mlp2: Optional[Sequence[int]] = None
+
+    @nn.compact
+    def __call__(self, pc1, pc2, feat1, feat2):
+        f1, f2 = feat1, feat2
+        for ch in self.mlp:
+            qk = Dense(f1.shape[-1])
+            cross_conv = Dense(ch)
+            q1, q2 = leaky(qk(f1)), leaky(qk(f2))
+            atten = jnp.einsum("bnc,bmc->bnm", q1, q2,
+                               preferred_element_type=jnp.float32
+                               ).astype(f1.dtype)
+            a1 = jax.nn.softmax(jnp.swapaxes(atten, 1, 2), axis=-1)  # B,N2,N1
+            a2 = jax.nn.softmax(atten, axis=-1)                      # B,N1,N2
+            v2 = jnp.concatenate([pc2, f2], axis=-1)
+            v1 = jnp.concatenate([pc1, f1], axis=-1)
+            f1 = leaky(cross_conv(jnp.einsum("bnm,bmc->bnc", a2, v2))) + f1
+            f2 = leaky(cross_conv(jnp.einsum("bmn,bnc->bmc",
+                                             jnp.swapaxes(a1, 1, 2), v1))) + f2
+        if self.mlp2 is None:
+            return f1, f2
+        final = FlowEmbeddingLayer(self.nsample, self.mlp2)(pc1, pc2, f1, f2)
+        return f1, f2, final
+
+
+class CrossLocalTransLayer(nn.Module):
+    """Local kNN-attention cross layer (pointconv_util.py:1642-1708): per
+    query, attend over 2·nsample neighbors in the other cloud; value =
+    [Δxyz ⊕ neighbor feats], residual add."""
+
+    nsample: int
+    mlp: Sequence[int]
+    mlp2: Optional[Sequence[int]] = None
+
+    def _attend(self, xyz_q, xyz_r, q_qk, r_qk, r_feat, cross_conv):
+        k = self.nsample * 2
+        idx = knn_point(k, xyz_r, xyz_q)
+        g_xyz = group_points(xyz_r, idx)
+        direction = g_xyz - xyz_q[:, :, None, :]
+        g_qk = group_points(r_qk, idx)                   # (B, N, K, D)
+        att = jax.nn.softmax(
+            jnp.einsum("bnkd,bnd->bnk", g_qk, q_qk), axis=-1)
+        g_val = jnp.concatenate([direction, group_points(r_feat, idx)], -1)
+        pooled = jnp.einsum("bnk,bnkc->bnc", att, g_val)
+        return leaky(cross_conv(pooled))
+
+    @nn.compact
+    def __call__(self, pc1, pc2, feat1, feat2):
+        f1, f2 = feat1, feat2
+        for ch in self.mlp:
+            qk = Dense(f1.shape[-1])
+            cross_conv = Dense(ch)
+            q1, q2 = leaky(qk(f1)), leaky(qk(f2))
+            new1 = self._attend(pc1, pc2, q1, q2, f2, cross_conv) + f1
+            new2 = self._attend(pc2, pc1, q2, q1, f1, cross_conv) + f2
+            f1, f2 = new1, new2
+        if self.mlp2 is None:
+            return f1, f2
+        final = FlowEmbeddingLayer(self.nsample, self.mlp2)(pc1, pc2, f1, f2)
+        return f1, f2, final
+
+
+# CrossPoolLayer (pointconv_util.py:1519-1592) is computationally identical
+# to the concat CrossLayer — alias for inventory parity.
+CrossPoolLayer = CrossLayerConcat
+
+
+class CrossLayerPoolLight(nn.Module):
+    """Multi-round additive-PE cross (pointconv_util.py:1710-1790): each
+    round re-projects both clouds and pools; mlp1 rounds bidirectional, mlp2
+    rounds single-direction fusion."""
+
+    nsample: int
+    mlp1: Sequence[int]
+    mlp2: Sequence[int]
+
+    def _pool(self, xyz1, xyz2, p1, p2, pos):
+        idx = knn_point(self.nsample, xyz2, xyz1)
+        neighbor_xyz = group_points(xyz2, idx)
+        direction = neighbor_xyz - xyz1[:, :, None, :]
+        g2 = group_points(p2, idx)
+        h = leaky(g2 + p1[:, :, None, :] + pos(direction))
+        return jnp.max(h, axis=2)
+
+    @nn.compact
+    def __call__(self, pc1, pc2, feat1, feat2):
+        f1, f2 = feat1, feat2
+        for ch in self.mlp1:
+            t1, t2 = Dense(ch), Dense(ch)
+            pos = Dense(ch)
+            new1 = self._pool(pc1, pc2, t1(f1), t2(f2), pos)
+            new2 = self._pool(pc2, pc1, t1(f2), t2(f1), pos)
+            f1, f2 = new1, new2
+        final = f1
+        for ch in self.mlp2:
+            t1, t2 = Dense(ch), Dense(ch)
+            pos = Dense(ch)
+            final = self._pool(pc1, pc2, t1(final), t2(f2), pos)
+        return f1, f2, final
+
+
+class _GenericFlowEstimator(nn.Module):
+    """Template shared by the SceneFlowEstimator* variants
+    (pointconv_util.py:2256-2563): two conv blocks of a chosen type over
+    [feats ⊕ cost], pointwise MLP, 1×1 to 3, clamp ±200, residual add."""
+
+    conv_type: str
+    channels: Sequence[int] = (128, 128)
+    mlp: Sequence[int] = (128, 64)
+    neighbors: int = 9
+    clamp: float = 200.0
+    weightnet: int = 16
+
+    def _conv(self, ch):
+        if self.conv_type == "sep":
+            return SepConv(self.neighbors, ch)
+        if self.conv_type == "bias":
+            return PointConvBias(self.neighbors, ch, self.weightnet)
+        if self.conv_type == "svd":
+            return PointConvSVD(self.neighbors, ch, self.weightnet)
+        if self.conv_type == "setconv":
+            return SetAbstract(self.neighbors, (ch,))
+        if self.conv_type == "factor":
+            return PointConvFactor(self.neighbors, ch, self.weightnet)
+        raise ValueError(self.conv_type)
+
+    @nn.compact
+    def __call__(self, xyz, feats, cost_volume, flow=None):
+        x = jnp.concatenate([feats, cost_volume], axis=-1)
+        for ch in self.channels:
+            x = self._conv(ch)(xyz, x)
+        x = MLP(self.mlp)(x)
+        flow_local = jnp.clip(Dense(3)(x), -self.clamp, self.clamp)
+        return x, flow_local if flow is None else flow_local + flow
+
+
+def SceneFlowEstimatorSepResidual(**kw):
+    """pointconv_util.py:2258-2302."""
+    return _GenericFlowEstimator(conv_type="sep", **kw)
+
+
+def SceneFlowEstimatorResidualBias(**kw):
+    """pointconv_util.py:2348-2391."""
+    return _GenericFlowEstimator(conv_type="bias", **kw)
+
+
+def SceneFlowEstimatorResidualSVD(**kw):
+    """pointconv_util.py:2520-2563."""
+    return _GenericFlowEstimator(conv_type="svd", **kw)
+
+
+def SceneFlowEstimatorSetconvResidual(**kw):
+    """pointconv_util.py:2391-2434."""
+    return _GenericFlowEstimator(conv_type="setconv", **kw)
+
+
+def SceneFlowEstimatorResidualFactor(**kw):
+    """pointconv_util.py:2477-2520."""
+    return _GenericFlowEstimator(conv_type="factor", **kw)
+
+
+class SceneFlowEstimatorResidualSmooth(nn.Module):
+    """pointconv_util.py:2302-2348: one 16-NN PointConv over
+    [feats ⊕ bid ⊕ cost], wider MLP, unclamped residual."""
+
+    channels: Sequence[int] = (128,)
+    mlp: Sequence[int] = (256, 128)
+    neighbors: int = 16
+    weightnet: int = 16
+
+    @nn.compact
+    def __call__(self, xyz, feats, bid_feats, cost_volume, flow=None):
+        from .pointconv import PointConv
+
+        x = jnp.concatenate([feats, bid_feats, cost_volume], axis=-1)
+        for ch in self.channels:
+            x = PointConv(self.neighbors, ch, weightnet=self.weightnet,
+                          bn=True)(xyz, x, train=True)
+        x = MLP(self.mlp)(x)
+        flow_local = Dense(3)(x)
+        return x, flow_local if flow is None else flow_local + flow

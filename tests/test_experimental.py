@@ -128,3 +128,53 @@ class TestPointnet2Compat:
         sfeats = jnp.asarray(rng.randn(B, 16, 24).astype(np.float32))
         out = run(pn2.PointnetFPModule((32,)), xyz, sparse, feats, sfeats)
         assert out.shape == (B, N, 32)
+
+
+class TestCrossTransAndEstimators:
+    def test_cross_trans(self, cloud, rng):
+        xyz, feats = cloud
+        xyz2 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        f1, f2, ff = run(ex.CrossTransLayer(K, (16, 16), (32,)),
+                         xyz, xyz2, feats, feats)
+        assert ff.shape == (B, N, 32)
+
+    def test_cross_local_trans(self, cloud, rng):
+        xyz, feats = cloud
+        xyz2 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        f1, f2, ff = run(ex.CrossLocalTransLayer(K, (16, 16), (32,)),
+                         xyz, xyz2, feats, feats)
+        assert ff.shape == (B, N, 32)
+
+    def test_cross_pool_light(self, cloud, rng):
+        xyz, feats = cloud
+        xyz2 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        f1, f2, ff = run(ex.CrossLayerPoolLight(K, (16, 16), (32,)),
+                         xyz, xyz2, feats, feats)
+        assert ff.shape == (B, N, 32)
+
+    @pytest.mark.parametrize("ctor", [
+        ex.SceneFlowEstimatorSepResidual, ex.SceneFlowEstimatorResidualBias,
+        ex.SceneFlowEstimatorResidualSVD,
+        ex.SceneFlowEstimatorSetconvResidual])
+    def test_estimator_variants(self, cloud, rng, ctor):
+        xyz, feats = cloud
+        cost = jnp.asarray(rng.randn(B, N, 8).astype(np.float32))
+        flow = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        est = ctor(channels=(16, 16), mlp=(16, 8))
+        feat_out, flow_out = run(est, xyz, feats, cost, flow)
+        assert flow_out.shape == (B, N, 3)
+
+    def test_estimator_smooth(self, cloud, rng):
+        xyz, feats = cloud
+        bid = jnp.asarray(rng.randn(B, N, 4).astype(np.float32))
+        cost = jnp.asarray(rng.randn(B, N, 8).astype(np.float32))
+        est = ex.SceneFlowEstimatorResidualSmooth(channels=(16,), mlp=(16, 8))
+        variables = est.init(jax.random.PRNGKey(0), xyz, feats, bid, cost)
+        _, flow_out = est.apply(variables, xyz, feats, bid, cost,
+                                mutable=["batch_stats"])[0]
+        assert flow_out.shape == (B, N, 3)
+
+    def test_warp_simple(self, cloud):
+        xyz, _ = cloud
+        out = ex.PointWarpingSimple()(xyz, xyz + 1.0, jnp.ones_like(xyz))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(xyz), atol=1e-6)
