@@ -139,3 +139,24 @@ class TestMultichipEntry:
         fn, args = g.entry()
         out = jax.eval_shape(fn, *args)
         assert out.shape == (1, 8192, 3)
+
+
+class TestCheckpoints:
+    def test_roundtrip_and_naming(self, batch, tmp_path):
+        from kd_pointcloud_tpu.train import (best_checkpoint, load_checkpoint,
+                                             parse_epoch_from_name,
+                                             save_checkpoint)
+        model = BidPointFlowNet(tiny_config("teacher"))
+        variables = _init(model, batch)
+        tree = {"params": variables["params"],
+                "batch_stats": variables["batch_stats"]}
+        p1 = save_checkpoint(str(tmp_path), "PointConv", 7, 0.1234, tree)
+        p2 = save_checkpoint(str(tmp_path), "PointConv", 9, 0.0777, tree)
+        assert parse_epoch_from_name(p2) == 9
+        assert best_checkpoint(str(tmp_path)) == p2
+
+        restored = load_checkpoint(p1, tree)
+        a = jax.tree_util.tree_leaves(tree["params"])
+        b = jax.tree_util.tree_leaves(restored["params"])
+        assert all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(a, b))
