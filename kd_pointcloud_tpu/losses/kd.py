@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .multiscale import ALPHA, downsample_gt, multi_scale_loss
+from .multiscale import ALPHA, downsample_gt, multi_scale_loss, safe_norm
 
 
 def _flow0(teacher_outputs):
@@ -99,7 +99,7 @@ def flow_loss_ht(outputs, feat1s, feat2s, fps_idxs1, gt_flow, teacher_outputs,
         t_i = teacher_outputs[i]
         t_i = t_i[-1] if isinstance(t_i, (list, tuple)) else t_i
         diff = outputs[i] - t_i
-        loss2 += alpha[i] * jnp.mean(jnp.sum(jnp.linalg.norm(diff, axis=-1), 1))
+        loss2 += alpha[i] * jnp.mean(jnp.sum(safe_norm(diff), 1))
     src = jnp.sum(((feat1s[layer] - t_feat1s[layer]) ** 2) / 2)
     tgt = jnp.sum(((feat2s[layer] - t_feat2s[layer]) ** 2) / 2)
     return (beta * (gamma * loss1 + (1 - gamma) * loss2)
@@ -132,7 +132,7 @@ def att_iter_loss(outputs, fps_idxs1, gt_flow, t_outputs, t_fps_idxs1,
     src_ht = jnp.zeros((), jnp.float32)
     for i, layer in enumerate(layers):
         for it, t_flow in enumerate(t_outputs[layer]):
-            diff = jnp.sum(jnp.linalg.norm(outputs[layer] - t_flow, axis=-1),
+            diff = jnp.sum(safe_norm(outputs[layer] - t_flow),
                            axis=1)                        # (B,)
             # reference: ratioᵀ @ diff (a batch dot product; the trailing
             # .mean() at loss_functions.py:153 is over a scalar, a no-op)
@@ -153,13 +153,13 @@ def att_ht_loss(outputs, c_feat1s, c_feat2s, fps_idxs1, gt_flow, t_outputs,
     for i, layer in enumerate(layers):
         for it in range(len(t_outputs[layer])):
             r = ratios[i][:, it]
-            d1 = jnp.sum(jnp.linalg.norm(
-                ((c_feat1s[layer] - t_c_feat1s[layer][it]) ** 2) / 2,
-                axis=-1), axis=1)                         # (B,)
+            d1 = jnp.sum(safe_norm(
+                ((c_feat1s[layer] - t_c_feat1s[layer][it]) ** 2) / 2),
+                axis=1)                                   # (B,)
             src_ht += alpha[layer] * jnp.sum(r * d1)
-            d2 = jnp.sum(jnp.linalg.norm(
-                ((c_feat2s[layer] - t_c_feat2s[layer][it]) ** 2) / 2,
-                axis=-1), axis=1)
+            d2 = jnp.sum(safe_norm(
+                ((c_feat2s[layer] - t_c_feat2s[layer][it]) ** 2) / 2),
+                axis=1)
             tgt_ht += alpha[layer] * jnp.sum(r * d2)
     loss2 = 0.5 * (src_ht + tgt_ht)
     return gamma * loss1 + (1 - gamma) * loss2

@@ -19,6 +19,13 @@ ALPHA = (0.02, 0.04, 0.08, 0.16)
 SCALE = 1.0
 
 
+def safe_norm(x, axis=-1):
+    """L2 norm with a finite gradient at 0 (jax's norm/sqrt has inf grad
+    there; torch.norm — which the reference uses — defines a 0 subgradient).
+    Forward differs from exact norm by at most 1e-10."""
+    return jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=axis), 1e-20))
+
+
 def downsample_gt(gt_flow: jnp.ndarray, fps_idxs: Sequence[jnp.ndarray],
                   scale: float = SCALE):
     """GT flow pyramid via the FPS index chain (loss_functions.py:13-17)."""
@@ -38,6 +45,6 @@ def multi_scale_loss(pred_flows, gt_flow, fps_idxs,
     total = jnp.zeros((), jnp.float32)
     for i in range(num_scale):
         diff = pred_flows[i] - gt_flows[i + offset]
-        l2 = jnp.linalg.norm(diff, axis=-1)          # (B, N)
+        l2 = safe_norm(diff)                          # (B, N)
         total += alpha[i] * jnp.mean(jnp.sum(l2, axis=1))
     return total

@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops import group_points, knn_point_dist, square_distance
-from .multiscale import ALPHA
+from .multiscale import ALPHA, safe_norm
 
 
 def curvature(pc, k: int = 10):
@@ -36,7 +36,9 @@ def smoothness(pc1, flow, k: int = 9):
     """Mean 9-NN flow deviation (:600-615)."""
     _, idx = knn_point_dist(k, pc1, pc1)
     grouped = group_points(flow, idx)
-    diff = jnp.linalg.norm(grouped - flow[:, :, None, :], axis=-1)
+    # the self-neighborhood contains the query point itself (zero diff) —
+    # safe_norm keeps the gradient finite there
+    diff = safe_norm(grouped - flow[:, :, None, :])
     return jnp.sum(diff, axis=2) / (k - 1)
 
 

@@ -29,7 +29,11 @@ def three_nn(query: jnp.ndarray, ref: jnp.ndarray, *,
     """
     d2, idx = knn_point_dist(3, ref, query, method=method, recall=recall,
                              precision=precision)
-    return jnp.sqrt(jnp.maximum(d2, 0.0)), idx
+    # clamp INSIDE the sqrt: sqrt'(0)=inf and FPS-sampled reference points
+    # are exact subsets of dense queries, so zero distances are guaranteed;
+    # torch.norm defines a zero subgradient there (the reference relies on
+    # it), jax does not. sqrt(1e-20)=1e-10 matches the reference clamp.
+    return jnp.sqrt(jnp.maximum(d2, 1e-20)), idx
 
 
 def three_interpolate(feats: jnp.ndarray, idx: jnp.ndarray,
@@ -66,7 +70,9 @@ def upsample_idw(dense_xyz: jnp.ndarray, sparse_xyz: jnp.ndarray,
     """
     d2, idx = knn_point_dist(3, sparse_xyz, dense_xyz, method=method,
                              recall=recall, precision=precision)  # (B, N, 3)
-    dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), 1e-10)
+    # clamp inside the sqrt (see three_nn) — sqrt(1e-20) = the reference's
+    # 1e-10 dist clamp (pointconv_util.py:2166), with a finite gradient
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
     inv = 1.0 / dist
     weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
     return three_interpolate(sparse_feat, idx, weight)

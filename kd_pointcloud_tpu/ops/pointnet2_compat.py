@@ -107,7 +107,7 @@ class PointnetFPModule(nn.Module):
     def __call__(self, unknown, known, unknown_feats, known_feats):
         if known is not None:
             dist, idx = three_nn(unknown, known)
-            inv = 1.0 / jnp.maximum(dist, 1e-10)
+            inv = 1.0 / dist   # three_nn already floors at 1e-10
             weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
             interp = three_interpolate(known_feats, idx, weight)
         else:

@@ -35,8 +35,11 @@ def point_warp(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
     d2, idx = knn_point_dist(3, xyz1_to_2, xyz2, method=method,
                              recall=recall, precision=precision)  # (B, N2, 3)
     # The reference recomputes dist from the gathered offsets; numerically
-    # identical to sqrt of the knn distances, clamp matches :2133.
-    dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), 1e-10)
+    # identical to sqrt of the knn distances. Clamp INSIDE the sqrt:
+    # sqrt(1e-20) equals the reference's 1e-10 clamp (:2133) but keeps the
+    # gradient finite at coincident points (jax sqrt'(0)=inf; torch.norm
+    # defines a zero subgradient the reference relies on).
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
     inv = 1.0 / dist
     weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
 

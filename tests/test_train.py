@@ -160,3 +160,24 @@ class TestCheckpoints:
         b = jax.tree_util.tree_leaves(restored["params"])
         assert all(np.array_equal(np.asarray(x), np.asarray(y))
                    for x, y in zip(a, b))
+
+
+class TestNaNRegression:
+    def test_grad_finite_with_coincident_points(self, rng):
+        """Regression: FPS-sampled sparse points are exact subsets of dense
+        points, so upsample/warp hit zero distances; jax sqrt'(0)=inf would
+        NaN every real training step (torch.norm has a 0 subgradient). Craft
+        the worst case: pc2 == pc1 exactly, zero gt flow."""
+        model = BidPointFlowNet(tiny_config("teacher"))
+        pc = jnp.asarray(rng.randn(2, N, 3).astype(np.float32))
+        batch = dict(pos1=pc, pos2=pc, norm1=pc, norm2=pc,
+                     flow=jnp.zeros_like(pc))
+        variables = _init(model, batch)
+        tx = make_optimizer(1e-3)
+        state = TrainState.create(variables, tx)
+        step = make_train_step(model, tx, donate=False)
+        for _ in range(2):
+            state, loss = step(state, batch)
+        assert np.isfinite(float(loss))
+        leaves = jax.tree_util.tree_leaves(state.params)
+        assert all(np.isfinite(np.asarray(p)).all() for p in leaves)
