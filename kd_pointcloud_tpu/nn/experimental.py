@@ -528,3 +528,78 @@ class SceneFlowEstimatorResidualSmooth(nn.Module):
         x = MLP(self.mlp)(x)
         flow_local = Dense(3)(x)
         return x, flow_local if flow is None else flow_local + flow
+
+
+class PointConvW(nn.Module):
+    """Gated-attention downsampling conv (pointconv_util.py:692-758): kernel
+    MLP over the grouped neighborhood, channel/point average statistics fused
+    into sigmoid gates, gated mean aggregation."""
+
+    npoint: int
+    nsample: int
+    out_channel: int
+
+    @nn.compact
+    def __call__(self, xyz, feats, train: bool = True):
+        fps_idx = furthest_point_sample(xyz, self.npoint)
+        new_xyz = gather_points(xyz, fps_idx)
+        grouped, _ = group_knn(self.nsample, xyz, new_xyz, feats)
+        h = leaky(Dense(self.out_channel, use_bias=False)(grouped))
+        # h: (B, S, K, C)
+        channel_avg = jnp.mean(h, axis=2)                  # (B, S, C)
+        point_avg = jnp.mean(h, axis=3)                    # (B, S, K)
+        agg = leaky(Dense(self.out_channel + self.nsample, use_bias=False)(
+            jnp.concatenate([channel_avg, point_avg], axis=-1)))
+        w_point = jax.nn.sigmoid(
+            Dense(self.nsample, use_bias=False)(agg[..., self.out_channel:]))
+        w_channel = jax.nn.sigmoid(
+            Dense(self.out_channel, use_bias=False)(agg[..., :self.out_channel]))
+        h = h * w_channel[:, :, None, :] * w_point[..., None]
+        return new_xyz, jnp.mean(h, axis=2), fps_idx
+
+
+class CrossLayerLightVoteDouble(nn.Module):
+    """Vote cross layer whose final round can query a DENSE second cloud
+    (pointconv_util_vote.py:1276-1450): feat2_new is upsampled onto the dense
+    cloud and concatenated with its features before the final pass. The
+    reference passes the unprojected concat into the final cross
+    (:1443 builds cross_t2(feat2_new_d) then ignores it) — implemented here
+    with the evident intent (projected features feed the final round)."""
+
+    nsample: int
+    mlp1: Sequence[int]
+    mlp2: Sequence[int]
+
+    def _pool(self, xyz1, xyz2, p1, p2, pos, mlp):
+        idx = knn_point(self.nsample, xyz2, xyz1)
+        neighbor_xyz = group_points(xyz2, idx)
+        direction = neighbor_xyz - xyz1[:, :, None, :]
+        g2 = group_points(p2, idx)
+        h = leaky(g2 + p1[:, :, None, :] + pos(direction))
+        h = mlp(h)
+        return jnp.max(h, axis=2)
+
+    @nn.compact
+    def __call__(self, pc1, pc2, feat1, feat2, pc2_dense=None,
+                 feat2_dense=None):
+        from ..ops import upsample_idw
+
+        t11 = Dense(self.mlp1[0], name="cross_t11")
+        t22 = Dense(self.mlp1[0], name="cross_t22")
+        pos1 = Dense(self.mlp1[0], name="pos1")
+        mlp1 = MLP(self.mlp1[1:], name="mlp1")
+        f1 = self._pool(pc1, pc2, t11(feat1), t22(feat2), pos1, mlp1)
+        f2 = self._pool(pc2, pc1, t11(feat2), t22(feat1), pos1, mlp1)
+
+        pos2 = Dense(self.mlp2[0], name="pos2")
+        mlp2 = MLP(self.mlp2[1:], name="mlp2")
+        f1p = Dense(self.mlp2[0], name="cross_t1")(f1)
+        if pc2_dense is not None:
+            f2_d = jnp.concatenate(
+                [feat2_dense, upsample_idw(pc2_dense, pc2, f2)], axis=-1)
+            f2p = Dense(self.mlp2[0], name="cross_t2")(f2_d)
+            final = self._pool(pc1, pc2_dense, f1p, f2p, pos2, mlp2)
+        else:
+            f2p = Dense(self.mlp2[0], name="cross_t2")(f2)
+            final = self._pool(pc1, pc2, f1p, f2p, pos2, mlp2)
+        return f1p, f2p, final

@@ -178,3 +178,27 @@ class TestCrossTransAndEstimators:
         xyz, _ = cloud
         out = ex.PointWarpingSimple()(xyz, xyz + 1.0, jnp.ones_like(xyz))
         np.testing.assert_allclose(np.asarray(out), np.asarray(xyz), atol=1e-6)
+
+
+class TestVoteAndW:
+    def test_pointconv_w(self, cloud):
+        xyz, feats = cloud
+        new_xyz, out, idx = run(ex.PointConvW(16, K, 24), xyz, feats)
+        assert new_xyz.shape == (B, 16, 3) and out.shape == (B, 16, 24)
+
+    def test_vote_double_sparse(self, cloud, rng):
+        xyz, feats = cloud
+        xyz2 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        f1, f2, ff = run(ex.CrossLayerLightVoteDouble(K, (16, 16), (16, 16)),
+                         xyz, xyz2, feats, feats)
+        assert ff.shape == (B, N, 16)
+
+    def test_vote_double_dense(self, cloud, rng):
+        xyz, feats = cloud
+        xyz2 = jnp.asarray(rng.randn(B, 32, 3).astype(np.float32))
+        f2s = jnp.asarray(rng.randn(B, 32, C).astype(np.float32))
+        dense = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        dfeat = jnp.asarray(rng.randn(B, N, 8).astype(np.float32))
+        f1, f2, ff = run(ex.CrossLayerLightVoteDouble(K, (16, 16), (16, 16)),
+                         xyz, xyz2, feats, f2s, dense, dfeat)
+        assert ff.shape == (B, N, 16)
