@@ -32,10 +32,17 @@ if __name__ == "__main__":
         path = args.pretrain
         if args.get("ckpt_dir") and not osp.isabs(path):
             path = osp.join(args.ckpt_dir, path)
-        restored = load_checkpoint(path, {"params": variables["params"],
-                                          "batch_stats": variables.get("batch_stats", {})})
-        variables = {"params": restored["params"],
-                     "batch_stats": restored.get("batch_stats", {})}
+        if path.endswith(".pth"):   # reference torch checkpoint
+            from kd_pointcloud_tpu.models.torch_import import \
+                load_torch_checkpoint
+            params, stats = load_torch_checkpoint(path)
+            variables = {"params": params, "batch_stats": stats}
+        else:
+            restored = load_checkpoint(
+                path, {"params": variables["params"],
+                       "batch_stats": variables.get("batch_stats", {})})
+            variables = {"params": restored["params"],
+                         "batch_stats": restored.get("batch_stats", {})}
         logger.info("loaded %s", path)
 
     results = evaluate_model(model, variables, loader, logger=logger)
