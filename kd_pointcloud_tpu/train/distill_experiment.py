@@ -15,6 +15,7 @@ from typing import Optional
 import jax
 import numpy as np
 
+from .. import losses as loss_lib
 from ..data import DataLoader
 from ..models import PRESETS, BidPointFlowNet, Bridge
 from ..utils import Config, blue, make_experiment_dir, make_logger
@@ -27,6 +28,72 @@ from .state import TrainState, make_optimizer, set_learning_rate, step_lr
 
 # fast_distillTrain.py:142-144: eval every FAST_RATIO epochs between FROM/UNTIL
 FAST_FROM, FAST_UNTIL, FAST_RATIO = 20, 400, 5
+
+
+def compute_teacher_history(t_model, t_variables, loader, max_batches=None):
+    """Pre-pass of the frozen teacher over the train set collecting its
+    multiScaleLoss per batch (distilTrain.py:142, feeds
+    attentiveImitationLoss's min/max normalization)."""
+    import jax.numpy as jnp
+
+    from ..losses import multi_scale_loss
+    from .loop import batch_to_device
+
+    @jax.jit
+    def step(variables, batch):
+        out = t_model.apply(variables, batch["pos1"], batch["pos2"],
+                            batch["norm1"], batch["norm2"], train=False)
+        return multi_scale_loss(out["flows"], batch["flow"], out["fps_idx1"])
+
+    history = []
+    for i, batch_np in enumerate(loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        history.append(float(step(t_variables, batch_to_device(batch_np))))
+    return history
+
+
+def make_named_loss(name: str, args):
+    """Resolve a KD loss by its reference name with config hyperparams.
+    Covers the loss menu the reference entry scripts switch between
+    (distilTrain.py:174 and the commented alternatives)."""
+    gamma = args.get("gamma", 0.3)
+    beta = args.get("beta", 0.8)
+    layers = tuple(args.get("hint_layers", (2, 3)))
+
+    def fn(s_out, t_out, batch, t_history=None):
+        common = dict(gt_flow=batch["flow"])
+        if name == "loss_fn_kd_2":
+            return loss_lib.loss_fn_kd_2(s_out["flows"], s_out["fps_idx1"],
+                                         batch["flow"], t_out["flows"],
+                                         t_out["fps_idx1"], gamma)
+        if name == "attentiveImitationLoss":
+            return loss_lib.attentive_imitation_loss(
+                s_out["flows"], s_out["fps_idx1"], batch["flow"],
+                t_out["flows"], t_out["fps_idx1"], t_history, gamma)
+        if name == "biDirectionLoss":
+            return loss_lib.bidirection_loss(
+                s_out["flows"], s_out["fps_idx1"], s_out["fps_idx2"],
+                batch["flow"], t_out["flows"], t_out["fps_idx1"],
+                gamma, args.get("gamma2", gamma), beta)
+        if name == "biDirection_loss_ht":
+            return loss_lib.bidirection_loss_ht(
+                s_out["flows"], s_out["feat1s"], s_out["feat2s"],
+                s_out["fps_idx1"], batch["flow"], t_out["flows"],
+                t_out["feat1s"], t_out["feat2s"], gamma, beta,
+                layer=layers[0] if len(layers) == 1 else layers[-1])
+        if name == "cross_biDirection_loss_ht":
+            return loss_lib.cross_bidirection_loss_ht(
+                s_out["flows"], s_out["feat1s"], s_out["fps_idx1"],
+                batch["flow"], t_out["flows"], t_out["feat1s"],
+                t_out["feat2s"], gamma, beta, layers)
+        if name == "cross_loss":
+            return loss_lib.cross_loss(
+                s_out["flows"], s_out["crosses"], s_out["fps_idx1"],
+                batch["flow"], t_out["flows"], t_out["crosses"], gamma, beta)
+        raise ValueError(f"unknown kd loss {name}")
+
+    return fn
 
 
 def _load_teacher(model: BidPointFlowNet, ckpt_path: str, batch_np):

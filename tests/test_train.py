@@ -181,3 +181,33 @@ class TestNaNRegression:
         assert np.isfinite(float(loss))
         leaves = jax.tree_util.tree_leaves(state.params)
         assert all(np.isfinite(np.asarray(p)).all() for p in leaves)
+
+
+class TestDistillExtras:
+    def test_teacher_history_and_named_losses(self, batch, rng):
+        from kd_pointcloud_tpu.train.distill_experiment import (
+            compute_teacher_history, make_named_loss)
+        from kd_pointcloud_tpu.utils import Config
+
+        t_model = BidPointFlowNet(tiny_config("teacher"))
+        t_vars = _init(t_model, batch, 1)
+        fake_loader = [tuple(np.asarray(batch[k]) for k in
+                             ("pos1", "pos2", "norm1", "norm2", "flow"))
+                       + (["p"] * 2,)] * 3
+        hist = compute_teacher_history(t_model, t_vars, fake_loader)
+        assert len(hist) == 3 and all(np.isfinite(h) for h in hist)
+
+        t_out = t_model.apply(t_vars, batch["pos1"], batch["pos2"],
+                              batch["norm1"], batch["norm2"], train=False)
+        s_out = t_out
+        args = Config(dict(gamma=0.3, beta=0.8, hint_layers=[1]))
+        for name in ("loss_fn_kd_2", "biDirectionLoss", "biDirection_loss_ht",
+                     "cross_loss"):
+            v = make_named_loss(name, args)(s_out, t_out, batch)
+            assert np.isfinite(float(v)), name
+        # identical batches give a constant history; perturb it (the
+        # reference formula divides by max(hist)-min(hist))
+        varied = [h * (1 + 0.1 * i) for i, h in enumerate(hist)]
+        v = make_named_loss("attentiveImitationLoss", args)(
+            s_out, t_out, batch, t_history=varied)
+        assert np.isfinite(float(v))
