@@ -41,17 +41,27 @@ def _cross_pool(nsample, xyz1, xyz2, points1, points2, pos, mlp,
     if knn_idx is None:
         knn_idx = knn_point(nsample, xyz2, xyz1, method=method,
                             recall=recall, precision=precision)  # (B, N1, K)
-    neighbor_xyz = group_points(xyz2, knn_idx)
-    direction_xyz = neighbor_xyz - xyz1[:, :, None, :]
 
-    g2 = group_points(points2, knn_idx)                    # (B, N1, K, D)
-    g1 = points1[:, :, None, :]                            # broadcast over K
-    new_points = leaky(g2 + g1 + pos(direction_xyz))
-    new_points = mlp(new_points)
-    pooled = jnp.max(new_points, axis=2)                   # max over K
     if return_neighbors:
-        return pooled, new_points, neighbor_xyz
-    return pooled
+        # vote path needs the neighbor positions — plain formulation
+        neighbor_xyz = group_points(xyz2, knn_idx)
+        direction_xyz = neighbor_xyz - xyz1[:, :, None, :]
+        g2 = group_points(points2, knn_idx)                # (B, N1, K, D)
+        new_points = leaky(g2 + points1[:, :, None, :] + pos(direction_xyz))
+        new_points = mlp(new_points)
+        return jnp.max(new_points, axis=2), new_points, neighbor_xyz
+
+    # pos is LINEAR, so pos(xyz2[j] − xyz1[q]) = pos·xyz2[j] − pos·xyz1[q]
+    # (+bias): fold the per-key term into a table u and the per-query term
+    # into v; the grouped pre-activation is just u[idx] + v[q]. This removes
+    # the (B,N,K,3) neighbor-position gather, the direction subtraction, and
+    # the (B,N,K,3)→(B,N,K,D) matmul — exact same math.
+    u = points2 + pos(xyz2)                                # p2 + W·x2 + b
+    # v = p1 − W·x1 (bias already carried by u): pos(0) recovers the bias
+    v = points1 - pos(xyz1) + pos(jnp.zeros_like(xyz1[:, :1, :]))
+    new_points = leaky(group_points(u, knn_idx) + v[:, :, None, :])
+    new_points = mlp(new_points)
+    return jnp.max(new_points, axis=2)                     # max over K
 
 
 class CrossLayerLight(nn.Module):
@@ -134,11 +144,10 @@ class CrossLayerLightFG(nn.Module):
         return jnp.concatenate([idx_f, idx_e], axis=-1)    # (B, N1, K)
 
     def _fg_pool(self, idx, xyz1, xyz2, points1, points2, pos, mlp):
-        neighbor_xyz = group_points(xyz2, idx)
-        direction_xyz = neighbor_xyz - xyz1[:, :, None, :]
-        g2 = group_points(points2, idx)
-        g1 = points1[:, :, None, :]
-        new_points = leaky(g2 + g1 + pos(direction_xyz))
+        # linear-pos factorization (see _cross_pool): u[idx] + v[q]
+        u = points2 + pos(xyz2)
+        v = points1 - pos(xyz1) + pos(jnp.zeros_like(xyz1[:, :1, :]))
+        new_points = leaky(group_points(u, idx) + v[:, :, None, :])
         new_points = mlp(new_points)
         return jnp.max(new_points, axis=2)
 
