@@ -11,12 +11,13 @@ approx_min_k itself (a true neighbor is lost only when two of the top-k land
 in the same group; with G=512 and k=32 measured recall ≈0.97).
 
 STATUS (round 1, v5e): measured 4.5 ms for 8192² k=32 vs 2.5 ms for
-`lax.approx_min_k` — the cyclic-roll tournament (the only fold Mosaic's
-layout pass accepts; value lane-slices crash it) moves 2×8 MB through the
-VPU per fold step, and index tracking doubles that. Kept as the starting
-point for a round-2 kernel (candidates: in-register index packing into the
-distance mantissa, bf16 distances, fewer/wider folds); production kNN stays
-on approx_min_k (ops/knn.py).
+`lax.approx_min_k` — and the packed variant (index in the distance's low
+mantissa bits, fold = one jnp.minimum) measures the SAME 4.5 ms, so the
+bottleneck is the cyclic-roll lane permutes themselves (the only fold
+Mosaic's layout pass accepts — value lane-slices crash it), not the fold
+arithmetic. tq>256 exceeds the 16 MB scoped-vmem limit. Round-2 candidates:
+multi-pass key tiling with per-tile n_groups accumulation (smaller rolls),
+or sublane-axis folds. Production kNN stays on approx_min_k (ops/knn.py).
 
 Distances are computed by broadcasting (no in-kernel transposes):
   d[q, j] = Σ_c (xq[q, c] − xk[c, j])²
@@ -32,6 +33,33 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _knn_kernel_packed(n_groups: int, n2_bits: int, xq_ref, xk_ref, out_ref):
+    # Packed variant: the key index rides the low mantissa bits of the f32
+    # distance (positive floats order identically as int32), so the fold is a
+    # single jnp.minimum per step — no index tracking, no selects. Costs
+    # ~2^-(23-n2_bits) relative distance precision (1.6e-3 at 8192 keys),
+    # immaterial next to the grouping approximation.
+    TQ = xq_ref.shape[0]
+    N2 = xk_ref.shape[1]
+
+    d = jnp.zeros((TQ, N2), jnp.float32)
+    for c in range(3):
+        diff = xq_ref[:, c:c + 1] - xk_ref[c:c + 1, :]
+        d = d + diff * diff
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (TQ, N2), 1)
+    mask = jnp.int32(~((1 << n2_bits) - 1))
+    packed = (pltpu.bitcast(d, jnp.int32) & mask) | idx
+
+    width = N2
+    while width > n_groups:
+        half = width // 2
+        packed = jnp.minimum(packed, pltpu.roll(packed, shift=half, axis=1))
+        width = half
+
+    out_ref[...] = packed[:, :n_groups]
 
 
 def _knn_kernel(n_groups: int, xq_ref, xk_ref, dist_ref, idx_ref):
@@ -67,10 +95,12 @@ def _knn_kernel(n_groups: int, xq_ref, xk_ref, dist_ref, idx_ref):
 
 
 @functools.partial(jax.jit, static_argnums=(2,),
-                   static_argnames=("n_groups", "tq", "recall", "interpret"))
+                   static_argnames=("n_groups", "tq", "recall", "interpret",
+                                    "packed"))
 def knn_pallas(query: jnp.ndarray, xyz: jnp.ndarray, k: int,
                *, n_groups: int = 512, tq: int = 256,
-               recall: float = 0.95, interpret: bool = False):
+               recall: float = 0.95, interpret: bool = False,
+               packed: bool = True):
     """(B, N1, 3) queries × (B, N2, 3) keys → (dist, idx) of shape (B, N1, k).
 
     Requires N1 % tq == 0 and N2 a power-of-two multiple of n_groups.
@@ -86,6 +116,30 @@ def knn_pallas(query: jnp.ndarray, xyz: jnp.ndarray, k: int,
     xk = xk.reshape(B * 8, N2)
 
     grid = (B, N1 // tq)
+    if packed:
+        n2_bits = max(1, (N2 - 1).bit_length())
+        out = pl.pallas_call(
+            functools.partial(_knn_kernel_packed, n_groups, n2_bits),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tq, 128), lambda b, q: (b * (N1 // tq) + q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, N2), lambda b, q: (b, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tq, n_groups),
+                                   lambda b, q: (b * (N1 // tq) + q, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B * N1, n_groups), jnp.int32),
+            interpret=interpret,
+        )(xq, xk).reshape(B, N1, n_groups)
+        idx_mask = (1 << n2_bits) - 1
+        cand_i = out & idx_mask
+        cand_d = jax.lax.bitcast_convert_type(out & ~idx_mask, jnp.float32)
+        d, pos = jax.lax.approx_min_k(cand_d, k, recall_target=recall)
+        idx = jnp.take_along_axis(cand_i, pos, axis=-1)
+        return d, idx
+
     cand_d, cand_i = pl.pallas_call(
         functools.partial(_knn_kernel, n_groups),
         grid=grid,
