@@ -603,3 +603,153 @@ class CrossLayerLightVoteDouble(nn.Module):
             f2p = Dense(self.mlp2[0], name="cross_t2")(f2)
             final = self._pool(pc1, pc2, f1p, f2p, pos2, mlp2)
         return f1p, f2p, final
+
+
+class CrossLayerLightVote1(nn.Module):
+    """Vote variant 1 (pointconv_util_vote.py:1533-1615): the soft-argmax
+    vote flow is computed on the FIRST round's direction-1 cost tensor and
+    concatenated to the final pooled features."""
+
+    nsample: int
+    mlp1: Sequence[int]
+    mlp2: Sequence[int]
+
+    def _pool(self, xyz1, xyz2, p1, p2, pos, mlp, vote=None):
+        idx = knn_point(self.nsample, xyz2, xyz1)
+        neighbor_xyz = group_points(xyz2, idx)
+        direction = neighbor_xyz - xyz1[:, :, None, :]
+        g2 = group_points(p2, idx)
+        h = leaky(g2 + p1[:, :, None, :] + pos(direction))
+        h = mlp(h)
+        pooled = jnp.max(h, axis=2)
+        if vote is not None:
+            w = jax.nn.softmax(vote(h), axis=2)           # (B, N, K, 1)
+            flow = jnp.sum(w * neighbor_xyz, axis=2) - xyz1
+            return pooled, flow
+        return pooled
+
+    @nn.compact
+    def __call__(self, pc1, pc2, feat1, feat2):
+        t11 = Dense(self.mlp1[0], name="cross_t11")
+        t22 = Dense(self.mlp1[0], name="cross_t22")
+        pos1 = Dense(self.mlp1[0], name="pos1")
+        mlp1 = MLP(self.mlp1[1:], name="mlp1")
+        vote = Dense(1, name="vote")
+        f1, flow = self._pool(pc1, pc2, t11(feat1), t22(feat2), pos1, mlp1,
+                              vote=vote)
+        f2 = self._pool(pc2, pc1, t11(feat2), t22(feat1), pos1, mlp1)
+        f1 = Dense(self.mlp2[0], name="cross_t1")(f1)
+        f2 = Dense(self.mlp2[0], name="cross_t2")(f2)
+        pos2 = Dense(self.mlp2[0], name="pos2")
+        mlp2 = MLP(self.mlp2[1:], name="mlp2")
+        final = self._pool(pc1, pc2, f1, f2, pos2, mlp2)
+        return f1, f2, jnp.concatenate([final, flow], axis=-1)
+
+
+class CrossLayerLightVote2(nn.Module):
+    """Vote variant 2 (pointconv_util_vote.py:1617-1700): the final round's
+    pre-pool tensor, concatenated with the neighbor positions, feeds a
+    3-channel vote conv whose mean over K minus the query position is the
+    vote flow, appended to the pooled features."""
+
+    nsample: int
+    mlp1: Sequence[int]
+    mlp2: Sequence[int]
+
+    def _pool(self, xyz1, xyz2, p1, p2, pos, mlp, vote=None):
+        idx = knn_point(self.nsample, xyz2, xyz1)
+        neighbor_xyz = group_points(xyz2, idx)
+        direction = neighbor_xyz - xyz1[:, :, None, :]
+        g2 = group_points(p2, idx)
+        h = leaky(g2 + p1[:, :, None, :] + pos(direction))
+        h = mlp(h)
+        pooled = jnp.max(h, axis=2)
+        if vote is not None:
+            v = vote(jnp.concatenate([h, neighbor_xyz], axis=-1))
+            flow = jnp.mean(v, axis=2) - xyz1
+            return jnp.concatenate([pooled, flow], axis=-1)
+        return pooled
+
+    @nn.compact
+    def __call__(self, pc1, pc2, feat1, feat2):
+        t11 = Dense(self.mlp1[0], name="cross_t11")
+        t22 = Dense(self.mlp1[0], name="cross_t22")
+        pos1 = Dense(self.mlp1[0], name="pos1")
+        mlp1 = MLP(self.mlp1[1:], name="mlp1")
+        f1 = self._pool(pc1, pc2, t11(feat1), t22(feat2), pos1, mlp1)
+        f2 = self._pool(pc2, pc1, t11(feat2), t22(feat1), pos1, mlp1)
+        f1 = Dense(self.mlp2[0], name="cross_t1")(f1)
+        f2 = Dense(self.mlp2[0], name="cross_t2")(f2)
+        pos2 = Dense(self.mlp2[0], name="pos2")
+        mlp2 = MLP(self.mlp2[1:], name="mlp2")
+        vote = Dense(3, name="vote")
+        final = self._pool(pc1, pc2, f1, f2, pos2, mlp2, vote=vote)
+        return f1, f2, final
+
+
+class SetAbstractFuse(nn.Module):
+    """Fused set abstraction (pointconv_util.py:956-1030 family): the first
+    MLP layer is applied to the features BEFORE grouping (weight-shared with
+    the relative-coordinate projection, reference applies conv2d with the
+    xyz-slice of the same kernel), neighborhoods are then pooled by BOTH a
+    learned softmax attention and a max, and fused through a second MLP."""
+
+    nsample: int
+    mlp: Sequence[int]
+    mlp2: Sequence[int]
+
+    @nn.compact
+    def __call__(self, xyz, feats):
+        d0 = self.mlp[0]
+        first = Dense(d0, use_bias=False, name="pre")
+        # weight-shared projection: features pre-projected at full resolution,
+        # relative coords projected with the same layer's xyz slice
+        pre = first(jnp.concatenate(
+            [jnp.zeros_like(xyz), feats], axis=-1))
+        idx = knn_point(self.nsample, xyz, xyz)
+        g = group_points(pre, idx)
+        rel = group_points(xyz, idx) - xyz[:, :, None, :]
+        h = g + first(jnp.concatenate(
+            [rel, jnp.zeros(rel.shape[:-1] + (feats.shape[-1],),
+                            rel.dtype)], axis=-1))
+        h = leaky(h)
+        for ch in self.mlp[1:]:
+            h = leaky(Dense(ch, use_bias=False)(h))
+        att = jax.nn.softmax(Dense(1, use_bias=False, name="att")(h), axis=2)
+        pooled = jnp.max(h, axis=2) + jnp.sum(att * h, axis=2)
+        out = pooled
+        for ch in self.mlp2:
+            out = leaky(Dense(ch, use_bias=False)(out))
+        return out
+
+
+class SetAbstractFuseD(nn.Module):
+    """Downsampling SetAbstractFuse (FPS first)."""
+
+    npoint: int
+    nsample: int
+    mlp: Sequence[int]
+    mlp2: Sequence[int]
+
+    @nn.compact
+    def __call__(self, xyz, feats):
+        fps_idx = furthest_point_sample(xyz, self.npoint)
+        new_xyz = gather_points(xyz, fps_idx)
+        d0 = self.mlp[0]
+        first = Dense(d0, use_bias=False, name="pre")
+        pre = first(jnp.concatenate([jnp.zeros_like(xyz), feats], axis=-1))
+        idx = knn_point(self.nsample, xyz, new_xyz)
+        g = group_points(pre, idx)
+        rel = group_points(xyz, idx) - new_xyz[:, :, None, :]
+        h = g + first(jnp.concatenate(
+            [rel, jnp.zeros(rel.shape[:-1] + (feats.shape[-1],),
+                            rel.dtype)], axis=-1))
+        h = leaky(h)
+        for ch in self.mlp[1:]:
+            h = leaky(Dense(ch, use_bias=False)(h))
+        att = jax.nn.softmax(Dense(1, use_bias=False, name="att")(h), axis=2)
+        pooled = jnp.max(h, axis=2) + jnp.sum(att * h, axis=2)
+        out = pooled
+        for ch in self.mlp2:
+            out = leaky(Dense(ch, use_bias=False)(out))
+        return new_xyz, out, fps_idx

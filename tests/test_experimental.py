@@ -202,3 +202,29 @@ class TestVoteAndW:
         f1, f2, ff = run(ex.CrossLayerLightVoteDouble(K, (16, 16), (16, 16)),
                          xyz, xyz2, feats, f2s, dense, dfeat)
         assert ff.shape == (B, N, 16)
+
+
+class TestVote12:
+    def test_vote1(self, cloud, rng):
+        xyz, feats = cloud
+        xyz2 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        f1, f2, ff = run(ex.CrossLayerLightVote1(K, (16, 16), (16, 16)),
+                         xyz, xyz2, feats, feats)
+        assert ff.shape == (B, N, 16 + 3)
+
+    def test_vote2(self, cloud, rng):
+        xyz, feats = cloud
+        xyz2 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        f1, f2, ff = run(ex.CrossLayerLightVote2(K, (16, 16), (16, 16)),
+                         xyz, xyz2, feats, feats)
+        assert ff.shape == (B, N, 16 + 3)
+
+
+class TestSetAbstractFuse:
+    def test_fuse(self, cloud):
+        out = run(ex.SetAbstractFuse(K, (32, 32), (32,)), *cloud)
+        assert out.shape == (B, N, 32)
+
+    def test_fuse_d(self, cloud):
+        nx, out, idx = run(ex.SetAbstractFuseD(16, K, (32, 32), (32,)), *cloud)
+        assert nx.shape == (B, 16, 3) and out.shape == (B, 16, 32)
