@@ -10,14 +10,15 @@ final k — two-level partial selection, the same approximation family as
 approx_min_k itself (a true neighbor is lost only when two of the top-k land
 in the same group; with G=512 and k=32 measured recall ≈0.97).
 
-STATUS (round 1, v5e): measured 4.5 ms for 8192² k=32 vs 2.5 ms for
-`lax.approx_min_k` — and the packed variant (index in the distance's low
-mantissa bits, fold = one jnp.minimum) measures the SAME 4.5 ms, so the
-bottleneck is the cyclic-roll lane permutes themselves (the only fold
-Mosaic's layout pass accepts — value lane-slices crash it), not the fold
-arithmetic. tq>256 exceeds the 16 MB scoped-vmem limit. Round-2 candidates:
-multi-pass key tiling with per-tile n_groups accumulation (smaller rolls),
-or sublane-axis folds. Production kNN stays on approx_min_k (ops/knn.py).
+STATUS (round 1, v5e): three designs measured for 8192² k=32 vs 2.5 ms
+for `lax.approx_min_k`: (a) roll-fold tournament 4.5 ms; (b) roll-free
+multi-pass key tiling with packed indices 4.3 ms; (c) MXU cross-term +
+packed min accumulation 4.0 ms. The residual ~4 ms is not the fold
+arithmetic, the rolls, or the distance FLOPs — profiling the Mosaic
+schedule is the round-2 step. Mosaic pitfalls hit: value lane-slices crash
+the layout pass, 4-lane blocks crash, negative roll shifts rejected,
+tq=512 roll variant exceeds the 16 MB scoped-vmem limit. Production kNN
+stays on approx_min_k (ops/knn.py).
 
 Distances are computed by broadcasting (no in-kernel transposes):
   d[q, j] = Σ_c (xq[q, c] − xk[c, j])²
@@ -35,31 +36,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _knn_kernel_packed(n_groups: int, n2_bits: int, xq_ref, xk_ref, out_ref):
-    # Packed variant: the key index rides the low mantissa bits of the f32
-    # distance (positive floats order identically as int32), so the fold is a
-    # single jnp.minimum per step — no index tracking, no selects. Costs
-    # ~2^-(23-n2_bits) relative distance precision (1.6e-3 at 8192 keys),
-    # immaterial next to the grouping approximation.
+def _knn_kernel_mxu(n_groups: int, n2_bits: int, xq_ref, xk_ref, s2k_ref,
+                    out_ref):
+    # MXU variant: the distance cross-term is a matmul of the zero-padded
+    # (TQ, 128) query block against (128, G) key slices — the VPU only does
+    # the rank-1 norm adds and the packed min accumulation.
     TQ = xq_ref.shape[0]
     N2 = xk_ref.shape[1]
-
-    d = jnp.zeros((TQ, N2), jnp.float32)
-    for c in range(3):
-        diff = xq_ref[:, c:c + 1] - xk_ref[c:c + 1, :]
-        d = d + diff * diff
-
-    idx = jax.lax.broadcasted_iota(jnp.int32, (TQ, N2), 1)
+    G = n_groups
     mask = jnp.int32(~((1 << n2_bits) - 1))
-    packed = (pltpu.bitcast(d, jnp.int32) & mask) | idx
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TQ, G), 1)
 
-    width = N2
-    while width > n_groups:
-        half = width // 2
-        packed = jnp.minimum(packed, pltpu.roll(packed, shift=half, axis=1))
-        width = half
+    xq = xq_ref[...]
+    s2q = jnp.sum(xq * xq, axis=1, keepdims=True)        # (TQ, 1)
 
-    out_ref[...] = packed[:, :n_groups]
+    acc = jnp.full((TQ, G), jnp.iinfo(jnp.int32).max, jnp.int32)
+    for p in range(N2 // G):
+        cross = jnp.dot(xq, xk_ref[:, p * G:(p + 1) * G],
+                        preferred_element_type=jnp.float32)
+        d = s2q - 2.0 * cross + s2k_ref[0:1, p * G:(p + 1) * G]
+        packed = (pltpu.bitcast(d, jnp.int32) & mask) | (lane + p * G)
+        acc = jnp.minimum(acc, packed)
+
+    out_ref[...] = acc
+
+
+def _knn_kernel_packed(n_groups: int, n2_bits: int, xq_ref, xk_ref, out_ref):
+    # Roll-free multi-pass variant: keys are processed in N2/n_groups passes
+    # of n_groups lanes; pass p covers the lane-stride class {g + p·G}, so
+    # the group minima accumulate with a plain elementwise minimum — no lane
+    # permutes, no (TQ, N2) intermediate. The key index rides the low
+    # mantissa bits of the f32 distance (positive floats order identically
+    # as int32), costing ~2^-(23-n2_bits) relative distance precision
+    # (1.6e-3 at 8192 keys) — immaterial next to the grouping approximation.
+    TQ = xq_ref.shape[0]
+    N2 = xk_ref.shape[1]
+    G = n_groups
+    mask = jnp.int32(~((1 << n2_bits) - 1))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TQ, G), 1)
+
+    acc = jnp.full((TQ, G), jnp.iinfo(jnp.int32).max, jnp.int32)
+    for p in range(N2 // G):
+        d = jnp.zeros((TQ, G), jnp.float32)
+        for c in range(3):
+            diff = xq_ref[:, c:c + 1] - xk_ref[c:c + 1, p * G:(p + 1) * G]
+            d = d + diff * diff
+        packed = (pltpu.bitcast(d, jnp.int32) & mask) | (lane + p * G)
+        acc = jnp.minimum(acc, packed)
+
+    out_ref[...] = acc
 
 
 def _knn_kernel(n_groups: int, xq_ref, xk_ref, dist_ref, idx_ref):
@@ -118,11 +143,19 @@ def knn_pallas(query: jnp.ndarray, xyz: jnp.ndarray, k: int,
     grid = (B, N1 // tq)
     if packed:
         n2_bits = max(1, (N2 - 1).bit_length())
+        # key layout for the MXU variant: (128, N2) with coords in rows 0..2
+        xk128 = jnp.pad(jnp.swapaxes(xyz.astype(jnp.float32), 1, 2),
+                        ((0, 0), (0, 125), (0, 0))).reshape(B * 128, N2)
+        s2k = jnp.sum(xyz.astype(jnp.float32) ** 2, axis=-1)  # (B, N2)
+        s2k = jnp.pad(s2k[:, None, :], ((0, 0), (0, 7), (0, 0))
+                      ).reshape(B * 8, N2)
         out = pl.pallas_call(
-            functools.partial(_knn_kernel_packed, n_groups, n2_bits),
+            functools.partial(_knn_kernel_mxu, n_groups, n2_bits),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((tq, 128), lambda b, q: (b * (N1 // tq) + q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, N2), lambda b, q: (b, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, N2), lambda b, q: (b, 0),
                              memory_space=pltpu.VMEM),
@@ -132,7 +165,7 @@ def knn_pallas(query: jnp.ndarray, xyz: jnp.ndarray, k: int,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B * N1, n_groups), jnp.int32),
             interpret=interpret,
-        )(xq, xk).reshape(B, N1, n_groups)
+        )(xq, xk128, s2k).reshape(B, N1, n_groups)
         idx_mask = (1 << n2_bits) - 1
         cand_i = out & idx_mask
         cand_d = jax.lax.bitcast_convert_type(out & ~idx_mask, jnp.float32)
