@@ -147,10 +147,23 @@ def distill(args: Config, mode: str = "standard",
     state = TrainState.create(s_variables, tx)
 
     if mode == "standard":
-        step = make_distill_step(t_model, s_model, tx,
-                                 gamma=args.get("gamma", 0.3),
-                                 beta=args.get("beta", 0.8),
-                                 layer=tuple(args.get("hint_layers", (2, 3))))
+        # loss selectable by reference name (distilTrain.py:174 and its
+        # commented alternatives). NB: the reference default
+        # cross_biDirection_loss_ht requires the student's hint layers to be
+        # 2x the teacher width (it mimics the concat of both teacher clouds)
+        # — with the shipped same-width student it is shape-inconsistent, as
+        # in the reference itself.
+        loss_name = args.get("kd_loss", "cross_biDirection_loss_ht")
+        named = make_named_loss(loss_name, args)
+        t_history = None
+        if loss_name == "attentiveImitationLoss":
+            t_history = compute_teacher_history(
+                t_model, t_variables, train_loader,
+                max_batches=args.get("history_batches"))
+        step = make_distill_step(
+            t_model, s_model, tx,
+            loss_fn=lambda s_out, t_out, b: named(s_out, t_out, b,
+                                                  t_history=t_history))
     elif mode == "fast":
         step = make_fast_distill_step(t_model, s_model, tx,
                                       gamma=args.get("gamma", 0.6),
