@@ -19,7 +19,7 @@ from ..parallel import batch_sharding, make_mesh, replicate
 from ..utils import Config, blue, make_experiment_dir, make_logger
 from .checkpoints import load_checkpoint, parse_epoch_from_name, save_checkpoint
 from .loop import batch_to_device, eval_sceneflow, make_eval_step, make_train_step
-from .state import TrainState, make_optimizer, set_learning_rate, step_lr
+from .state import TrainState, lr_for_epoch, make_optimizer, set_learning_rate
 
 
 def build_transforms(args: Config):
@@ -107,7 +107,7 @@ def train_teacher(args: Config, max_epochs: Optional[int] = None,
     best_epe = float("inf")
     epochs = max_epochs if max_epochs is not None else args.epochs
     for epoch in range(init_epoch, epochs):
-        lr = step_lr(args.learning_rate, epoch)
+        lr = lr_for_epoch(args, epoch)
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
         logger.info("Learning rate: %f", lr)
 

@@ -24,6 +24,25 @@ def step_lr(base_lr: float, epoch: int, step_size: int = 100,
     return max(base_lr * gamma ** (epoch // step_size), clip)
 
 
+def custom_lr(epoch: int, lrs, lr_switch_epochs) -> float:
+    """Reference custom-lr schedule (main_utils.py:12-31 + the descending
+    parse in cmd_args.py:31-39): lrs/switch epochs are stored descending;
+    the lr is the first entry whose switch epoch the current epoch has
+    reached."""
+    for lr, switch in zip(lrs, lr_switch_epochs):
+        if epoch >= switch:
+            return lr
+    return lrs[-1]
+
+
+def lr_for_epoch(args, epoch: int) -> float:
+    """Resolve the epoch's learning rate from a config: custom_lr schedule
+    when configured, StepLR otherwise."""
+    if args.get("custom_lr"):
+        return custom_lr(epoch, args.lrs, args.lr_switch_epochs)
+    return step_lr(args.learning_rate, epoch)
+
+
 def make_optimizer(learning_rate: float = 1e-3,
                    weight_decay: float = 1e-4) -> optax.GradientTransformation:
     def tx(lr):

@@ -211,3 +211,22 @@ class TestDistillExtras:
         v = make_named_loss("attentiveImitationLoss", args)(
             s_out, t_out, batch, t_history=varied)
         assert np.isfinite(float(v))
+
+
+class TestCustomLR:
+    def test_schedule(self):
+        from kd_pointcloud_tpu.train import custom_lr, lr_for_epoch
+        from kd_pointcloud_tpu.utils import Config
+        # cmd_args.py stores descending: lrs "1e-3,5e-4,1e-4" reversed
+        lrs = [1e-4, 5e-4, 1e-3][::1]  # descending switch order
+        lrs = [1e-4, 5e-4, 1e-3]
+        switches = [200, 100, 0]
+        assert custom_lr(0, lrs, switches) == 1e-3
+        assert custom_lr(99, lrs, switches) == 1e-3
+        assert custom_lr(100, lrs, switches) == 5e-4
+        assert custom_lr(250, lrs, switches) == 1e-4
+        args = Config(dict(custom_lr=True, lrs=lrs,
+                           lr_switch_epochs=switches, learning_rate=1e-3))
+        assert lr_for_epoch(args, 150) == 5e-4
+        args2 = Config(dict(learning_rate=1e-3))
+        assert lr_for_epoch(args2, 100) == 5e-4   # StepLR fallback
