@@ -3,9 +3,10 @@
 
 from .datasets import (DATASETS, KITTI, FlyingThings3DSubset,
                        FlyingThings3DSubsetMin)
-from .loader import DataLoader, collate
+from .loader import PAD_PATH, DataLoader, collate, pad_batch, valid_count
 from .transforms import Augmentation, ProcessData
 
 __all__ = ["DATASETS", "KITTI", "FlyingThings3DSubset",
            "FlyingThings3DSubsetMin", "DataLoader", "collate",
+           "pad_batch", "valid_count", "PAD_PATH",
            "Augmentation", "ProcessData"]

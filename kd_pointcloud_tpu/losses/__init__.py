@@ -5,7 +5,8 @@ from .kd import (att_ht_loss, att_iter_loss, attentive_imitation_loss,
                  bidirection_loss, bidirection_loss_ht, bridge_ht_loss,
                  bridge_ht_loss_iter, cross_bidirection_loss_ht, cross_loss,
                  double_bridge_ht_loss, flow_loss_ht, loss_fn_ht, loss_fn_kd_2)
-from .multiscale import ALPHA, downsample_gt, multi_scale_loss
+from .multiscale import (ALPHA, downsample_gt, multi_scale_loss,
+                        multi_scale_loss_per_sample)
 from .selfsup import multi_scale_chamfer_smooth_curvature
 
 __all__ = [
@@ -14,5 +15,6 @@ __all__ = [
     "bridge_ht_loss_iter", "cross_bidirection_loss_ht", "cross_loss",
     "double_bridge_ht_loss", "flow_loss_ht", "loss_fn_ht", "loss_fn_kd_2",
     "ALPHA", "downsample_gt", "multi_scale_loss",
+    "multi_scale_loss_per_sample",
     "multi_scale_chamfer_smooth_curvature",
 ]

@@ -38,13 +38,22 @@ def downsample_gt(gt_flow: jnp.ndarray, fps_idxs: Sequence[jnp.ndarray],
 def multi_scale_loss(pred_flows, gt_flow, fps_idxs,
                      alpha: Sequence[float] = ALPHA) -> jnp.ndarray:
     """Σ_l alpha[l] · mean_B Σ_N ||pred_l − gt_l||₂."""
+    return jnp.mean(multi_scale_loss_per_sample(pred_flows, gt_flow,
+                                                fps_idxs, alpha))
+
+
+def multi_scale_loss_per_sample(pred_flows, gt_flow, fps_idxs,
+                                alpha: Sequence[float] = ALPHA) -> jnp.ndarray:
+    """Per-sample (B,) variant of multi_scale_loss — the batch mean of this is
+    exactly the reference loss; eval loops use it to weight uneven/padded
+    final batches correctly."""
     num_scale = len(pred_flows)
     offset = len(fps_idxs) - num_scale + 1
     gt_flows = downsample_gt(gt_flow, fps_idxs)
 
-    total = jnp.zeros((), jnp.float32)
+    total = jnp.zeros((pred_flows[0].shape[0],), jnp.float32)
     for i in range(num_scale):
         diff = pred_flows[i] - gt_flows[i + offset]
         l2 = safe_norm(diff)                          # (B, N)
-        total += alpha[i] * jnp.mean(jnp.sum(l2, axis=1))
+        total += alpha[i] * jnp.sum(l2, axis=1)
     return total

@@ -37,6 +37,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def data_parallel_sharding(batch_size: int, logger=None):
+    """(mesh, batch sharding-or-None) for the default device set.
+
+    Falls back to single-device placement when the global batch does not
+    divide over the mesh (DataParallel's uneven-scatter footgun — here it is
+    an explicit, logged decision instead of a wrong-shape crash)."""
+    mesh = make_mesh()
+    n = len(mesh.devices.flat)
+    if n <= 1:
+        return mesh, None
+    if batch_size % n != 0:
+        if logger is not None:
+            logger.warning(
+                "batch_size %d not divisible by %d devices — running "
+                "single-device; pick a divisible batch to enable data "
+                "parallelism", batch_size, n)
+        return mesh, None
+    return mesh, batch_sharding(mesh)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Device-put a pytree of host arrays with the batch axis sharded."""
     sh = batch_sharding(mesh)

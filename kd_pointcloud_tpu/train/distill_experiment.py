@@ -18,8 +18,10 @@ import numpy as np
 from .. import losses as loss_lib
 from ..data import DataLoader
 from ..models import PRESETS, BidPointFlowNet, Bridge
+from ..parallel import data_parallel_sharding, replicate
 from ..utils import Config, blue, make_experiment_dir, make_logger
-from .checkpoints import load_checkpoint, save_checkpoint
+from .checkpoints import (full_state_tree, load_checkpoint,
+                          restore_train_state, save_checkpoint)
 from .distill import (make_bridge_distill_step, make_distill_step,
                       make_fast_distill_step)
 from .experiment import build_datasets, init_model
@@ -134,7 +136,12 @@ def distill(args: Config, mode: str = "standard",
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                               drop_last=True, num_workers=args.get("workers", 2))
     val_loader = DataLoader(val_ds, args.batch_size, shuffle=False,
-                            drop_last=True, num_workers=args.get("workers", 2))
+                            drop_last=False, pad_last=True,
+                            num_workers=args.get("workers", 2))
+
+    # same data-parallel mesh as train_teacher (DataParallel gating parity:
+    # distilTrain.py:108-114) — teacher + student replicated, batch sharded
+    mesh, sharding = data_parallel_sharding(args.batch_size, logger)
 
     first = next(iter(train_loader))
     teacher_ckpt = None
@@ -145,6 +152,19 @@ def distill(args: Config, mode: str = "standard",
     s_variables = init_model(s_model, first)
     tx = make_optimizer(args.learning_rate, args.weight_decay)
     state = TrainState.create(s_variables, tx)
+
+    init_epoch, best_epe = 0, float("inf")
+    if args.get("pretrain"):
+        state, ckpt_epoch, best_epe, _ = restore_train_state(args.pretrain,
+                                                             state)
+        init_epoch = (ckpt_epoch + 1 if best_epe != float("inf")
+                      else ckpt_epoch)
+        logger.info("student resume from %s (epoch %d, best epe %.4f)",
+                    args.pretrain, init_epoch, best_epe)
+
+    if sharding is not None:
+        t_variables = replicate(mesh, t_variables)
+        state = replicate(mesh, state)
 
     if mode == "standard":
         # loss selectable by reference name (distilTrain.py:174 and its
@@ -191,9 +211,8 @@ def distill(args: Config, mode: str = "standard",
 
     eval_step = make_eval_step(s_model)
 
-    best_epe = float("inf")
     epochs = max_epochs if max_epochs is not None else args.epochs
-    for epoch in range(epochs):
+    for epoch in range(init_epoch, epochs):
         lr = step_lr(args.learning_rate, epoch)
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
 
@@ -201,7 +220,7 @@ def distill(args: Config, mode: str = "standard",
         for i, batch_np in enumerate(train_loader):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
-            batch = batch_to_device(batch_np)
+            batch = batch_to_device(batch_np, sharding)
             if mode == "bridge":
                 state, b_params, b_opt, loss = step(state, b_params, b_opt,
                                                     t_variables, batch)
@@ -217,15 +236,17 @@ def distill(args: Config, mode: str = "standard",
             do_eval = (epoch % FAST_RATIO == 0)
         if do_eval:
             eval_epe3d, eval_loss = eval_sceneflow(eval_step, state.variables,
-                                                   val_loader)
+                                                   val_loader, sharding)
             logger.info("EPOCH %d %s mean epe3d: %f  eval loss: %f",
                         epoch, blue("eval"), eval_epe3d, eval_loss)
             if eval_epe3d < best_epe:
                 best_epe = eval_epe3d
+                extra = ({"bridge_params": b_params, "bridge_opt": b_opt}
+                         if mode == "bridge" else None)
                 path = save_checkpoint(osp.join(run_dir, "checkpoints"), "S",
                                        epoch, best_epe,
-                                       {"params": state.params,
-                                        "batch_stats": state.batch_stats})
+                                       full_state_tree(state, epoch, best_epe,
+                                                       extra=extra))
                 logger.info("Save model to %s", path)
 
     return state, best_epe, run_dir

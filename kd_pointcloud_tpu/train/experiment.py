@@ -15,9 +15,10 @@ import numpy as np
 
 from ..data import DATASETS, Augmentation, DataLoader, ProcessData
 from ..models import PRESETS, BidPointFlowNet
-from ..parallel import batch_sharding, make_mesh, replicate
+from ..parallel import data_parallel_sharding, replicate
 from ..utils import Config, blue, make_experiment_dir, make_logger
-from .checkpoints import load_checkpoint, parse_epoch_from_name, save_checkpoint
+from .checkpoints import (full_state_tree, load_checkpoint,
+                          restore_train_state, save_checkpoint)
 from .loop import batch_to_device, eval_sceneflow, make_eval_step, make_train_step
 from .state import TrainState, lr_for_epoch, make_optimizer, set_learning_rate
 
@@ -78,11 +79,13 @@ def train_teacher(args: Config, max_epochs: Optional[int] = None,
     train_ds, val_ds = build_datasets(args)
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                               drop_last=True, num_workers=args.get("workers", 2))
+    # eval keeps every sample: short final batch padded, metrics weighted by
+    # the real count (fixes the reference's silent drop_last truncation)
     val_loader = DataLoader(val_ds, args.batch_size, shuffle=False,
-                            drop_last=True, num_workers=args.get("workers", 2))
+                            drop_last=False, pad_last=True,
+                            num_workers=args.get("workers", 2))
 
-    mesh = make_mesh()
-    sharding = batch_sharding(mesh) if len(mesh.devices.flat) > 1 else None
+    mesh, sharding = data_parallel_sharding(args.batch_size, logger)
 
     first = next(iter(train_loader))
     variables = init_model(model, first)
@@ -92,19 +95,23 @@ def train_teacher(args: Config, max_epochs: Optional[int] = None,
     tx = make_optimizer(args.learning_rate, args.weight_decay)
     state = TrainState.create(variables, tx)
 
-    init_epoch = 0
+    init_epoch, best_epe = 0, float("inf")
     if args.get("pretrain"):
-        restored = load_checkpoint(args.pretrain, {"params": state.params,
-                                                   "batch_stats": state.batch_stats})
-        state = state.replace(params=restored["params"],
-                              batch_stats=restored["batch_stats"])
-        init_epoch = parse_epoch_from_name(args.pretrain)
-        logger.info("loaded %s (epoch %d)", args.pretrain, init_epoch)
+        state, ckpt_epoch, best_epe, _ = restore_train_state(args.pretrain,
+                                                             state)
+        # full checkpoints record the last COMPLETED epoch; bare weight
+        # checkpoints fall back to the reference filename convention
+        # (train_bid_pointconv.py:115), which restarts that epoch
+        init_epoch = (ckpt_epoch + 1 if best_epe != float("inf")
+                      else ckpt_epoch)
+        if sharding is not None:
+            state = replicate(mesh, state)
+        logger.info("loaded %s (resume at epoch %d, best epe %.4f)",
+                    args.pretrain, init_epoch, best_epe)
 
     train_step = make_train_step(model, tx)
     eval_step = make_eval_step(model)
 
-    best_epe = float("inf")
     epochs = max_epochs if max_epochs is not None else args.epochs
     for epoch in range(init_epoch, epochs):
         lr = lr_for_epoch(args, epoch)
@@ -131,8 +138,7 @@ def train_teacher(args: Config, max_epochs: Optional[int] = None,
             best_epe = eval_epe3d
             path = save_checkpoint(osp.join(run_dir, "checkpoints"),
                                    args.model_name, epoch, best_epe,
-                                   {"params": state.params,
-                                    "batch_stats": state.batch_stats})
+                                   full_state_tree(state, epoch, best_epe))
             logger.info("Save model to %s", path)
         logger.info("Best epe loss is: %.5f", best_epe)
 

@@ -16,7 +16,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..losses import multi_scale_loss
+from ..losses import multi_scale_loss, multi_scale_loss_per_sample
 from ..models import BidPointFlowNet
 from .state import TrainState
 
@@ -58,16 +58,22 @@ def make_train_step(model: BidPointFlowNet, tx,
 
 def make_eval_step(model: BidPointFlowNet):
     """Jitted eval step: forward + multiScaleLoss + EPE3D
-    (train_bid_pointconv.py:184-210)."""
+    (train_bid_pointconv.py:184-210).
+
+    Returns per-SAMPLE epe/loss vectors (B,) so callers can weight uneven or
+    padded final batches correctly (the reference's drop_last silently skips
+    FT3D-val's remainder at batch_size>1)."""
 
     @jax.jit
     def step(variables, batch):
         out = model.apply(variables, batch["pos1"], batch["pos2"],
                           batch["norm1"], batch["norm2"], train=False)
-        loss = multi_scale_loss(out["flows"], batch["flow"], out["fps_idx1"])
+        loss = multi_scale_loss_per_sample(out["flows"], batch["flow"],
+                                           out["fps_idx1"])
         flow0 = out["flows"][0]
         flow0 = flow0[-1] if isinstance(flow0, list) else flow0
-        epe3d = jnp.mean(jnp.linalg.norm(flow0 - batch["flow"], axis=-1))
+        epe3d = jnp.mean(
+            jnp.sqrt(jnp.sum((flow0 - batch["flow"]) ** 2, axis=-1)), axis=-1)
         return epe3d, loss, flow0
 
     return step
@@ -83,12 +89,23 @@ def batch_to_device(batch_np, sharding=None) -> Dict[str, jnp.ndarray]:
 
 def eval_sceneflow(eval_step, variables, loader, sharding=None
                    ) -> Tuple[float, float]:
-    """Mean EPE3D + eval loss over a loader (train_bid_pointconv.py:184-210)."""
-    epes, losses = [], []
+    """Mean EPE3D + eval loss over a loader (train_bid_pointconv.py:184-210).
+
+    Per-sample results are masked by the loader's pad sentinel, so padded
+    final batches (loader pad_last=True) contribute only their real samples."""
+    from ..data import PAD_PATH
+
+    epes, losses, masks = [], [], []
     for batch_np in loader:
         batch = batch_to_device(batch_np, sharding)
         epe3d, loss, _ = eval_step(variables, batch)
         epes.append(epe3d)
         losses.append(loss)
-    return (float(jnp.mean(jnp.stack(epes))),
-            float(jnp.mean(jnp.stack(losses))))
+        masks.append(jnp.asarray(
+            [p != PAD_PATH for p in batch_np[5]], jnp.float32))
+    epe = jnp.concatenate([jnp.atleast_1d(e) for e in epes])
+    loss = jnp.concatenate([jnp.atleast_1d(l) for l in losses])
+    mask = jnp.concatenate(masks)
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return (float(jnp.sum(epe * mask) / denom),
+            float(jnp.sum(loss * mask) / denom))
