@@ -7,11 +7,17 @@ by dispatching N forwards back-to-back and syncing once — per-call host sync
 through this image's remote-TPU tunnel costs ~30 ms of pure RPC latency that
 a production serving loop would pipeline away.
 
+Round 2: distance matmuls run at HIGHEST precision (round 1's default-
+precision cost path had neighbor recall 0.26 on KITTI-scale coordinates —
+a silent accuracy bug, see models/config.py), with the fused Pallas kNN
+kernel (ops/pallas/knn_fused.py) recovering the speed.
+
 Baseline: the reference repo logs no latency (SURVEY.md §6); the
 Bi-PointFlowNet paper (ECCV'22) reports 39 ms/pair on its reference GPU →
 25.6 pairs/s. vs_baseline = measured / 25.6.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric; the LAST line is the headline eval metric
+(the driver records the last line).
 """
 
 from __future__ import annotations
@@ -22,6 +28,7 @@ import time
 import numpy as np
 
 BASELINE_PAIRS_PER_S = 25.6  # 39 ms/pair, Bi-PointFlowNet ECCV'22 runtime
+V5E_PEAK_F32_FLOPS = 49.2e12  # per chip (bf16 197 TFLOP/s ÷ 4 HIGHEST passes≈)
 
 
 def main():
@@ -30,6 +37,8 @@ def main():
 
     from kd_pointcloud_tpu.data import KITTI, ProcessData
     from kd_pointcloud_tpu.models import PRESETS, BidPointFlowNet
+    from kd_pointcloud_tpu.train import (TrainState, make_optimizer,
+                                         make_train_step)
 
     model = BidPointFlowNet(PRESETS["teacher"])
 
@@ -53,6 +62,15 @@ def main():
     fwd = jax.jit(lambda v, a, b, c, d:
                   model.apply(v, a, b, c, d, train=False)["flows"][0])
 
+    # analytical cost of one eval forward (for the MFU line)
+    try:
+        flops_per_pair = jax.jit(
+            lambda v, a, b, c, d:
+            model.apply(v, a, b, c, d, train=False)["flows"][0]
+        ).lower(variables, *batches[0]).compile().cost_analysis()["flops"]
+    except Exception:
+        flops_per_pair = None
+
     # warm / compile
     float(jnp.sum(fwd(variables, *batches[0])))
 
@@ -64,6 +82,48 @@ def main():
     float(jnp.sum(out))          # host sync — device has executed all N
     dt = (time.time() - t0) / N
     pairs_per_s = 1.0 / dt
+
+    # ---- train-step throughput (bs=3, the reference training batch size)
+    train_line = None
+    try:
+        bs = 3
+        b3 = tuple(jnp.concatenate([x] * bs) for x in batches[0])
+        batch = dict(pos1=b3[0], pos2=b3[1], norm1=b3[2], norm2=b3[3],
+                     flow=jnp.zeros_like(b3[0]))
+        v3 = jax.jit(lambda k: model.init(k, *b3, train=False))(
+            jax.random.PRNGKey(0))
+        tx = make_optimizer(1e-3)
+        state = TrainState.create(v3, tx)
+        step = make_train_step(model, tx, donate=False)
+        state, loss = step(state, batch)
+        float(loss)
+        M = 15
+        t0 = time.time()
+        for _ in range(M):
+            state, loss = step(state, batch)
+        float(loss)
+        step_dt = (time.time() - t0) / M
+        train_line = {
+            "metric": "teacher_train_step_bs3",
+            "value": round(1.0 / step_dt, 2),
+            "unit": "steps/sec",
+            "vs_baseline": None,   # the reference publishes no train timing
+            "pairs_per_sec": round(bs / step_dt, 2),
+        }
+    except Exception as e:  # pragma: no cover - train bench is best-effort
+        train_line = {"metric": "teacher_train_step_bs3", "error": str(e)[:200]}
+
+    if train_line is not None:
+        print(json.dumps(train_line))
+    if flops_per_pair:
+        mfu = flops_per_pair * pairs_per_s / V5E_PEAK_F32_FLOPS
+        print(json.dumps({
+            "metric": "teacher_eval_mfu",
+            "value": round(mfu, 4),
+            "unit": "fraction_of_v5e_f32_peak",
+            "vs_baseline": None,
+            "flops_per_pair": flops_per_pair,
+        }))
 
     print(json.dumps({
         "metric": "teacher_eval_throughput_8192pts_bs1",

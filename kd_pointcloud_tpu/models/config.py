@@ -66,9 +66,14 @@ class ModelConfig:
     # bit-parity testing. Consumers are permutation-invariant either way.
     knn_method: str = "approx"
     knn_recall: float = 0.95
-    # distance-matmul precision on the cost-volume/grouping path; FPS and
-    # the exact-parity path stay at "highest"
-    knn_precision: str = "default"
+    # distance-matmul precision. MUST be "highest" on TPU: metric-scale
+    # clouds (KITTI z up to 35 m) put |q|²/|k|² at O(10³) while true NN
+    # distances are O(10⁻³), and single-pass bf16 products (precision
+    # "default") destroy the cancellation — measured neighbor recall drops
+    # from 0.985 to 0.26 on bundled KITTI scenes, silently wrecking every
+    # cost volume. ("default" was round 1's last perf step; reverted as a
+    # correctness fix.)
+    knn_precision: str = "highest"
 
     @property
     def returns_c_feats(self) -> bool:

@@ -42,6 +42,13 @@ def _chunk_topk(xyz, query_chunk, k, method, recall, precision):
     return dist, idx.astype(jnp.int32)
 
 
+def _fused_ok(k: int, n_queries: int, n_keys: int) -> bool:
+    """Shapes the fused Pallas kernel handles AND wins on (it loses to
+    approx_min_k below ~4096 keys, where selection is already cheap)."""
+    return (n_keys >= 4096 and n_keys % 1024 == 0
+            and n_queries % 128 == 0 and k <= 64)
+
+
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("chunk", "method", "recall", "precision"))
 def knn_point(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
@@ -63,7 +70,28 @@ def knn_point(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
       (B, S, k) int32 neighbor indices into `xyz`.
 
     Reference semantics: pointconv_util.py:96-107 (unsorted smallest-k).
+
+    Index-only queries on big key sets route to the fused Pallas kernel
+    (ops/pallas/knn_fused.py: one-dot distance tile + packed stride-min +
+    in-kernel exact top-k — no N² HBM matrix, no approx_min_k partial
+    reduce). Distance-consuming callers (warp/IDW, which differentiate
+    through d²) stay on knn_point_dist's approx_min_k path: the kernel has
+    no VJP and its returned distances carry masked mantissas.
     """
+    # this image's TPU registers as platform "axon" (remote v5e tunnel)
+    if (method == "approx" and jax.default_backend() in ("tpu", "axon")
+            and _fused_ok(k, query.shape[1], xyz.shape[1])):
+        from .pallas.knn_fused import knn_fused
+        S = query.shape[1]
+        # measured optima on v5e: tq=256 at 8192 queries, tq=512 at <=2048
+        tq = 512 if (S <= 2048 and S % 512 == 0) else \
+            (256 if S % 256 == 0 else 128)
+        # indices are non-differentiable (torch.topk indices likewise carry
+        # no grad in the reference); cut tangents here so the train step's
+        # JVP never reaches the kernel (warped clouds DO carry gradients in)
+        return knn_fused(jax.lax.stop_gradient(query),
+                         jax.lax.stop_gradient(xyz), k, n_groups=1024, tq=tq,
+                         precision=precision)[1]
     return knn_point_dist(k, xyz, query, chunk=chunk, method=method,
                           recall=recall, precision=precision)[1]
 

@@ -1,0 +1,183 @@
+"""Fused Pallas kNN v2: one-matmul distance tile + packed stride-min + exact
+in-kernel top-k extraction.
+
+Replaces the dense `lax.approx_min_k` path (ops/knn.py) for the big levels.
+The reference materializes the full (B,S,N) distance matrix + torch.topk
+(pointconv_util.py:96-107); `approx_min_k` fuses the distance producer but
+still pays a partial-reduce over all N2 key lanes — measured 2.4 ms per
+8192² kNN on v5e, the dominant forward-pass cost (two of these per cross0).
+
+Design notes (fixing round-1's 4.0-4.5 ms attempts, ops/pallas/knn_pallas.py):
+
+  * ONE MXU dot per query tile computes the whole (TQ, N2) distance block:
+    queries are embedded as rows [x, y, z, |q|², 1, 0...] and keys as columns
+    [−2x, −2y, −2z, 1, |k|², 0...]₁₂₈, so q·k = |q|² − 2q·k + |k|² — the
+    exact squared distance, non-negative by construction (safe for the
+    packed-int trick below). Round 1 instead did 16 small matmuls plus
+    per-pass sublane/lane broadcasts of the norm terms, which dominated the
+    schedule.
+  * The distance block lands in a VMEM scratch; Mosaic ref-slicing (not
+    value-slicing, which crashes its layout pass) feeds G-lane packed-min
+    passes: packed = (bitcast(d) & ~((1<<n2_bits)-1)) | key_index. Positive
+    f32 order identically as int32, so a single int `min` tracks both the
+    group-min distance and its argmin. Masking the low 13 bits costs ~1e-3
+    relative distance precision — selection-only noise.
+  * Groups are lane-STRIDE classes {g, g+G, ...}: a true top-k neighbor is
+    lost only when two of the k land in the same class (birthday bound
+    k(k−1)/2G ≈ 1.5% at k=32, G=1024 — same approximation family as
+    `approx_min_k` at recall_target 0.95).
+  * Optional exact top-k over the G survivors IN-KERNEL: k rounds of
+    (lane-min → match-mask → retire). Packed values are unique (low bits =
+    key index), so the match selects exactly one lane per round. This kills
+    the follow-up XLA `approx_min_k` pass and shrinks the kernel output from
+    (S, G) to (S, k).
+
+Returned distances carry the masked mantissa (≤1e-3 relative error);
+consumers needing exact distances recompute them from the gathered
+coordinates (all production consumers — max-pool cost volumes, IDW weights —
+tolerate this, matching the unsorted-topk contract of the reference).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _embed_queries(query: jnp.ndarray) -> jnp.ndarray:
+    """(B, N1, 3) → (B·N1, 128) rows [x, y, z, |q|², 1, 0...]."""
+    B, N1, _ = query.shape
+    q = query.astype(jnp.float32)
+    s2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    ones = jnp.ones_like(s2)
+    emb = jnp.concatenate([q, s2, ones], axis=-1)          # (B, N1, 5)
+    return jnp.pad(emb, ((0, 0), (0, 0), (0, 123))).reshape(B * N1, 128)
+
+
+def _embed_keys(xyz: jnp.ndarray) -> jnp.ndarray:
+    """(B, N2, 3) → (B·128, N2) columns [−2x, −2y, −2z, 1, |k|², 0...]."""
+    B, N2, _ = xyz.shape
+    k = xyz.astype(jnp.float32)
+    s2 = jnp.sum(k * k, axis=-1, keepdims=True)
+    ones = jnp.ones_like(s2)
+    emb = jnp.concatenate([-2.0 * k, ones, s2], axis=-1)   # (B, N2, 5)
+    emb = jnp.pad(emb, ((0, 0), (0, 0), (0, 123)))         # (B, N2, 128)
+    return jnp.swapaxes(emb, 1, 2).reshape(B * 128, N2)
+
+
+def _kernel(n_groups: int, n2_bits: int, k: int, extract: bool,
+            precision, xq_ref, xk_ref, out_ref, d_scratch):
+    TQ = xq_ref.shape[0]
+    N2 = xk_ref.shape[1]
+    G = n_groups
+    mask = jnp.int32(~((1 << n2_bits) - 1))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TQ, G), 1)
+
+    # one MXU dot: exact squared distances for the whole tile. Precision
+    # must be HIGHEST (6-pass bf16 ≈ f32 products): |q|²/|k|² reach O(10³)
+    # on KITTI while true NN distances are O(10⁻³) — single-pass bf16
+    # products wipe out the cancellation (measured recall 0.15 vs 0.99;
+    # the same failure applies to ANY bf16 distance matmul on metric-scale
+    # clouds, including lax.approx_min_k over a default-precision
+    # square_distance: recall 0.26 on KITTI scene 0). Mosaic supports only
+    # DEFAULT and HIGHEST.
+    d_scratch[...] = jnp.dot(xq_ref[...], xk_ref[...],
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
+
+    acc = jnp.full((TQ, G), INT32_MAX, jnp.int32)
+    for p in range(N2 // G):
+        d = d_scratch[:, p * G:(p + 1) * G]                # ref slice
+        packed = (pltpu.bitcast(d, jnp.int32) & mask) | (lane + p * G)
+        acc = jnp.minimum(acc, packed)
+
+    if not extract:
+        out_ref[...] = acc
+        return
+
+    # exact top-k of the G candidates: min → retire → repeat. Padding lanes
+    # (when the caller rounds k up) stay INT32_MAX and are never selected
+    # before real candidates run out.
+    out_ref[...] = jnp.full(out_ref.shape, INT32_MAX, jnp.int32)
+    for j in range(k):
+        m = jnp.min(acc, axis=1, keepdims=True)            # (TQ, 1)
+        out_ref[:, j:j + 1] = m
+        acc = jnp.where(acc == m, INT32_MAX, acc)
+
+
+def _unpack(packed: jnp.ndarray, n2_bits: int):
+    idx_mask = (1 << n2_bits) - 1
+    idx = packed & idx_mask
+    dist = jax.lax.bitcast_convert_type(packed & ~idx_mask, jnp.float32)
+    return dist, idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(2,),
+                   static_argnames=("n_groups", "tq", "extract", "recall",
+                                    "interpret", "precision", "semantics"))
+def knn_fused(query: jnp.ndarray, xyz: jnp.ndarray, k: int,
+              *, n_groups: int = 1024, tq: int = 256,
+              extract: bool = True, recall: float = 0.95,
+              interpret: bool = False, precision: str = "highest",
+              semantics: str = "arbitrary"):
+    """(B, N1, 3) queries × (B, N2, 3) keys → (dist², idx) of shape (B, N1, k).
+
+    Requires N1 % tq == 0 and N2 % n_groups == 0. dist² carries ≤1e-3
+    relative error from the packed-index mantissa mask (module docstring).
+    """
+    B, N1, _ = query.shape
+    N2 = xyz.shape[1]
+    assert N1 % tq == 0 and N2 % n_groups == 0, (N1, tq, N2, n_groups)
+    n2_bits = max(1, (N2 - 1).bit_length())
+
+    xq = _embed_queries(query)                             # (B·N1, 128)
+    xk = _embed_keys(xyz)                                  # (B·128, N2)
+
+    grid = (B, N1 // tq)
+    if extract:
+        K = max(k, 128)                                    # lane-align output
+        out_shape = jax.ShapeDtypeStruct((B * N1, K), jnp.int32)
+        out_spec = pl.BlockSpec((tq, K), lambda b, q: (b * (N1 // tq) + q, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((B * N1, n_groups), jnp.int32)
+        out_spec = pl.BlockSpec((tq, n_groups),
+                                lambda b, q: (b * (N1 // tq) + q, 0),
+                                memory_space=pltpu.VMEM)
+
+    prec = jax.lax.Precision(precision)
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_groups, n2_bits, k, extract, prec),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, 128), lambda b, q: (b * (N1 // tq) + q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, N2), lambda b, q: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((tq, N2), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", semantics)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N1 * 128 * N2,
+            bytes_accessed=(B * N1 * 128 + B * 128 * N2 + B * N1 * 128) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(xq, xk)
+
+    if extract:
+        dist, idx = _unpack(out.reshape(B, N1, -1)[..., :k], n2_bits)
+        return dist, idx
+
+    cand_d, cand_i = _unpack(out.reshape(B, N1, n_groups), n2_bits)
+    d, pos = jax.lax.approx_min_k(cand_d, k, recall_target=recall)
+    idx = jnp.take_along_axis(cand_i, pos, axis=-1)
+    return d, idx

@@ -1,0 +1,155 @@
+"""END-TO-END evaluation parity vs the actual reference pipeline.
+
+make_eval_parity_fixture.py runs the REAL reference stack on CPU — its
+KITTI loader (datasets/kitti.py), its ProcessData transform
+(transforms/transforms.py:137-203), the torch model, and its metric code
+(evaluation_utils.py + utils/geometry.py with per-scene calib files) — over
+10 bundled KITTI scenes, recording the transformed clouds and all 6 metrics.
+
+This test validates OUR pipeline as a system against those numbers:
+  * loader parity: our datasets.KITTI reproduces the reference's raw clouds
+    (ground removal, mapping filter, scene order) exactly;
+  * model + metrics + calib parity: our model with the imported reference
+    weights, our evaluate_3d/2d, and our calib projection reproduce every
+    per-scene metric to float tolerance on the reference's own sampled
+    clouds (the RNG bridge: point sampling is the one stochastic step, so
+    the fixture's sampled clouds are replayed rather than re-drawn).
+
+Reference oracle: evaluate_bid_pointconv.py:105-148.
+"""
+
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+FIXTURE_DIR = "/tmp/kdpc_eval_parity"
+SD_PATH = osp.join(FIXTURE_DIR, "ref_eval_random.pth")
+GOLDEN_PATH = osp.join(FIXTURE_DIR, "eval_golden.npz")
+REFERENCE_AVAILABLE = osp.isdir("/root/reference")
+N_SCENES = 10
+
+
+def _ensure_fixture():
+    if osp.exists(SD_PATH) and osp.exists(GOLDEN_PATH):
+        g = np.load(GOLDEN_PATH, allow_pickle=True)
+        if int(g["n_scenes"]) >= N_SCENES:
+            return True
+    gen = osp.join(osp.dirname(__file__), "make_eval_parity_fixture.py")
+    r = subprocess.run([sys.executable, gen, FIXTURE_DIR, str(N_SCENES)],
+                       capture_output=True, text=True, timeout=1800,
+                       cwd=osp.dirname(__file__))
+    if r.returncode != 0:
+        print(r.stdout[-2000:], r.stderr[-2000:])
+        return False
+    return True
+
+
+@pytest.fixture(scope="module")
+def golden():
+    assert REFERENCE_AVAILABLE and _ensure_fixture(), \
+        "could not build eval parity fixture"
+    return np.load(GOLDEN_PATH, allow_pickle=True)
+
+
+@pytest.mark.skipif(not REFERENCE_AVAILABLE,
+                    reason="reference checkout not present")
+class TestLoaderParity:
+    def test_raw_clouds_match_reference(self, golden):
+        """Our KITTI walker + pc_loader reproduce the reference's raw
+        (post-ground-removal) clouds and scene order exactly."""
+        from kd_pointcloud_tpu.data import KITTI, ProcessData
+
+        ds = KITTI(train=False, transform=ProcessData(num_points=8192))
+        for i in range(int(golden["n_scenes"])):
+            ref_path = str(golden[f"path_{i}"])
+            assert osp.split(ds.samples[i])[-1] == osp.split(ref_path)[-1]
+            pc1, pc2 = ds.pc_loader(ds.samples[i])
+            assert pc1.shape[0] == int(golden[f"raw_n_{i}"])
+            np.testing.assert_array_equal(pc1[:256], golden[f"raw1_head_{i}"])
+            np.testing.assert_array_equal(pc2[:256], golden[f"raw2_head_{i}"])
+
+
+@pytest.mark.skipif(not REFERENCE_AVAILABLE,
+                    reason="reference checkout not present")
+class TestEvalSystemParity:
+    def test_all_six_metrics_per_scene(self, golden):
+        """Imported weights + our forward + our metrics + our calib
+        projection reproduce the reference's 6 metrics on every scene."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from kd_pointcloud_tpu.eval.geometry import get_batch_2d_flow
+        from kd_pointcloud_tpu.eval.metrics import evaluate_2d, evaluate_3d
+        from kd_pointcloud_tpu.models import PRESETS, BidPointFlowNet
+        from kd_pointcloud_tpu.models.torch_import import load_torch_checkpoint
+
+        params, stats = load_torch_checkpoint(SD_PATH)
+        cfg = dataclasses.replace(PRESETS["teacher"], knn_method="exact",
+                                  knn_precision="highest")
+        model = BidPointFlowNet(cfg)
+
+        ref = golden["metrics"]
+        for i in range(int(golden["n_scenes"])):
+            pc1 = golden[f"pc1_{i}"]
+            pc2 = golden[f"pc2_{i}"]
+            sf = golden[f"sf_{i}"]
+            path = str(golden[f"path_{i}"])
+
+            out = model.apply({"params": params, "batch_stats": stats},
+                              jnp.asarray(pc1[None]), jnp.asarray(pc2[None]),
+                              jnp.asarray(pc1[None]), jnp.asarray(pc2[None]),
+                              train=False)
+            pred = np.asarray(out["flows"][0])[0]
+
+            epe3d, acc3ds, acc3dr, outl = evaluate_3d(pred, sf)
+            f2d_pred, f2d_gt = get_batch_2d_flow(
+                pc1[None], (pc1 + sf)[None], (pc1 + pred)[None], [path])
+            epe2d, acc2d = evaluate_2d(f2d_pred[0], f2d_gt[0])
+
+            got = np.array([epe3d, acc3ds, acc3dr, outl, epe2d, acc2d])
+            # EPEs: float tolerance; ACC/outlier fractions can shift by a
+            # point or two at the thresholds when flows differ at 1e-7
+            np.testing.assert_allclose(got[[0, 4]], ref[i][[0, 4]],
+                                       rtol=1e-4, atol=1e-6)
+            np.testing.assert_allclose(got[[1, 2, 3, 5]], ref[i][[1, 2, 3, 5]],
+                                       atol=3.0 / 8192)
+
+    def test_runner_aggregation_matches_reference_mean(self, golden):
+        """The evaluate_model runner (threaded metrics, AverageMeter
+        aggregation) over the fixture scenes reproduces the reference's mean
+        metrics — the full evaluate CLI path minus the on-disk loader."""
+        import dataclasses
+
+        from kd_pointcloud_tpu.eval.runner import evaluate_model
+        from kd_pointcloud_tpu.models import PRESETS, BidPointFlowNet
+        from kd_pointcloud_tpu.models.torch_import import load_torch_checkpoint
+
+        params, stats = load_torch_checkpoint(SD_PATH)
+        cfg = dataclasses.replace(PRESETS["teacher"], knn_method="exact",
+                                  knn_precision="highest")
+        model = BidPointFlowNet(cfg)
+
+        n = int(golden["n_scenes"])
+        batches = []
+        for i in range(n):
+            pc1 = golden[f"pc1_{i}"][None]
+            pc2 = golden[f"pc2_{i}"][None]
+            sf = golden[f"sf_{i}"][None]
+            batches.append((pc1, pc2, pc1, pc2, sf,
+                            [str(golden[f"path_{i}"])]))
+
+        results = evaluate_model(model, {"params": params,
+                                         "batch_stats": stats},
+                                 batches, with_2d=True)
+        ref_mean = golden["metrics"].mean(axis=0)
+        keys = ("epe3d", "acc3ds", "acc3dr", "outliers", "epe2d", "acc2d")
+        got = np.array([results[k] for k in keys])
+        np.testing.assert_allclose(got[[0, 4]], ref_mean[[0, 4]],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(got[[1, 2, 3, 5]], ref_mean[[1, 2, 3, 5]],
+                                   atol=3.0 / 8192)

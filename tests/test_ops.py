@@ -172,27 +172,3 @@ class TestBallQuery:
                 np.testing.assert_array_equal(idx[0, s], want)
 
 
-class TestFusedKnnKernel:
-    def test_interpret_recall_and_consistency(self, rng):
-        """Experimental fused Pallas kNN (ops/pallas/knn_pallas.py):
-        two-level partial selection must hit high recall and return
-        distances consistent with its indices."""
-        import jax.numpy as jnp
-
-        from kd_pointcloud_tpu.ops.pallas.knn_pallas import knn_pallas
-
-        q = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
-        x = jnp.asarray(rng.randn(2, 1024, 3).astype(np.float32))
-        d, idx = knn_pallas(q, x, 8, n_groups=128, tq=128, interpret=True)
-        assert idx.shape == (2, 256, 8)
-        exact = np.asarray(ops.knn_point(8, x, q, method="exact"))
-        got = np.asarray(idx)
-        recall = np.mean([len(set(exact[b, i]) & set(got[b, i])) / 8
-                          for b in range(2) for i in range(0, 256, 7)])
-        assert recall > 0.9
-        # distances consistent with returned indices
-        qn, xn = np.asarray(q), np.asarray(x)
-        b, i = 0, 5
-        want = ((qn[b, i] - xn[b, got[b, i]]) ** 2).sum(-1)
-        np.testing.assert_allclose(np.sort(np.asarray(d)[b, i]),
-                                   np.sort(want), rtol=1e-4)
