@@ -29,10 +29,15 @@ from typing import Any, Dict, Tuple
 import numpy as np
 
 # torch-side prefixes of plain Conv1d blocks (reference Conv1d wrapper:
-# <name>.composed_module.0.{weight,bias})
+# <name>.composed_module.0.{weight,bias}), per model family
 _CONV_BLOCKS = ("level0", "level0_1", "level0_2", "level1_0", "level1_1",
                 "level2_0", "level2_1", "level3_0", "level3_1",
                 "deconv4_3", "deconv3_2", "deconv2_1", "deconv1_0")
+# FG family (models_bid_FG.py:24-59 / models_bifeat.py): level0 is a
+# PointConv, level0_lift feeds it, and there is no level0_2
+_CONV_BLOCKS_FG = ("level0_lift", "level0_1", "level1_0", "level1_1",
+                   "level2_0", "level2_1", "level3_0", "level3_1",
+                   "deconv4_3", "deconv3_2", "deconv2_1", "deconv1_0")
 
 
 def _np(t) -> np.ndarray:
@@ -49,6 +54,18 @@ def _conv_kernel(w: np.ndarray) -> np.ndarray:
 def convert_teacher_state_dict(state_dict: Dict[str, Any]
                                ) -> Tuple[Dict, Dict]:
     """Returns (params, batch_stats) flax trees for the teacher preset."""
+    return convert_state_dict(state_dict, family="teacher")
+
+
+def convert_state_dict(state_dict: Dict[str, Any], family: str = "teacher"
+                       ) -> Tuple[Dict, Dict]:
+    """Convert a reference state_dict for a model family.
+
+    family: "teacher" (models_bid_pointconv / lighttoken_res / weight48),
+    "fg" (models_bid_FG / models_bifeat — PointConv l0 encoder, no
+    level0_2), or "vote" (modes_bid_vote — teacher wiring + a `vote` 1×1
+    conv on the final cross round, pointconv_util_vote.py:1483).
+    """
     if "state_dict" in state_dict and isinstance(state_dict["state_dict"],
                                                  dict):
         state_dict = state_dict["state_dict"]
@@ -71,14 +88,18 @@ def convert_teacher_state_dict(state_dict: Dict[str, Any]
         return _np(sd[key])
 
     # --- plain Conv1d blocks
-    for name in _CONV_BLOCKS:
+    conv_blocks = _CONV_BLOCKS_FG if family == "fg" else _CONV_BLOCKS
+    # our FG flax module names level0_2's role "level0_1" and the lift
+    # "level0_lift" — identical to the reference FG names, no remap needed
+    for name in conv_blocks:
         put(params, (name, "Dense_0", "kernel"),
             _conv_kernel(take(f"{name}.composed_module.0.weight")))
         put(params, (name, "Dense_0", "bias"),
             take(f"{name}.composed_module.0.bias"))
 
-    # --- PointConvD levels
-    for lvl in (1, 2, 3, 4):
+    # --- PointConv / PointConvD levels
+    pc_levels = [1, 2, 3, 4] + ([0] if family == "fg" else [])
+    for lvl in pc_levels:
         base = f"level{lvl}"
         for j in range(3):
             put(params, (base, "WeightNet_0", f"Dense_{j}", "kernel"),
@@ -108,6 +129,11 @@ def convert_teacher_state_dict(state_dict: Dict[str, Any]
                              "bias"),
                     take(f"{base}.{mlp}.{i}.composed_module.0.bias"))
                 i += 1
+        if family == "vote" and f"{base}.vote.weight" in sd:
+            # soft-argmax vote conv (pointconv_util_vote.py:1483)
+            put(params, (base, "vote", "kernel"),
+                _conv_kernel(take(f"{base}.vote.weight")))
+            put(params, (base, "vote", "bias"), take(f"{base}.vote.bias"))
 
     # --- flow heads
     for lvl in range(4):
@@ -160,9 +186,10 @@ def convert_teacher_state_dict(state_dict: Dict[str, Any]
     return params, stats
 
 
-def load_torch_checkpoint(path: str) -> Tuple[Dict, Dict]:
+def load_torch_checkpoint(path: str, family: str = "teacher"
+                          ) -> Tuple[Dict, Dict]:
     """Load a reference .pth and convert (torch required)."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
-    return convert_teacher_state_dict(sd)
+    return convert_state_dict(sd, family=family)

@@ -753,3 +753,81 @@ class SetAbstractFuseD(nn.Module):
         for ch in self.mlp2:
             out = leaky(Dense(ch, use_bias=False)(out))
         return new_xyz, out, fps_idx
+
+
+class PointConvSVDD(nn.Module):
+    """FPS-downsampling PointConv with the rank-factorized output linear
+    (pointconv_util.py:448-496: Linear(W·C → out/2) → Linear(out/2 → out),
+    no activation between the two). Returns (new_xyz, new_feat, fps_idx) —
+    the downsampling sibling of PointConvSVD above."""
+
+    npoint: int
+    nsample: int
+    out_channel: int
+    weightnet: int = 16
+
+    @nn.compact
+    def __call__(self, xyz, feats):
+        fps_idx = furthest_point_sample(xyz, self.npoint)
+        new_xyz = gather_points(xyz, fps_idx)
+        grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats)
+        w = WeightNet(self.weightnet)(rel)
+        y = weighted_contract(grouped, w)
+        y = Dense(self.out_channel // 2)(y)
+        y = Dense(self.out_channel)(y)
+        return new_xyz, leaky(y), fps_idx
+
+
+class PointConvWeight(nn.Module):
+    """pointconv_util2.py:434-482 — in the checked-out reference this
+    forward is operation-for-operation the same as PointConvD's (FPS →
+    group_query → WeightNet contraction → one Linear → leaky); the class
+    exists only in the v2 ops file. Kept under its own name for inventory
+    parity. Returns (new_xyz, new_feat, fps_idx)."""
+
+    npoint: int
+    nsample: int
+    out_channel: int
+    weightnet: int = 16
+
+    @nn.compact
+    def __call__(self, xyz, feats):
+        fps_idx = furthest_point_sample(xyz, self.npoint)
+        new_xyz = gather_points(xyz, fps_idx)
+        grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats)
+        w = WeightNet(self.weightnet)(rel)
+        y = weighted_contract(grouped, w)
+        y = Dense(self.out_channel)(y)
+        return new_xyz, leaky(y), fps_idx
+
+
+class NoCrossLayer(nn.Module):
+    """One-directional concat-style cost volume
+    (pointconv_util.py:1217-1274): concat [tiled feat1, grouped feat2, Δxyz]
+    → 1×1 conv stack → max over K. With output_clue=True additionally
+    returns the channel-sum of the max-masked activation tensor and the kNN
+    indices (:1264-1268; channels-last, so the reference's dim-1 sum is the
+    last axis here)."""
+
+    nsample: int
+    mlp1: Sequence[int]
+    output_clue: bool = False
+
+    @nn.compact
+    def __call__(self, pc1, pc2, feat1, feat2):
+        idx = knn_point(self.nsample, pc2, pc1)
+        neighbor_xyz = group_points(pc2, idx)
+        direction = neighbor_xyz - pc1[:, :, None, :]
+        g2 = group_points(feat2, idx)                    # (B, N1, K, D2)
+        g1 = jnp.broadcast_to(feat1[:, :, None, :],
+                              g2.shape[:3] + (feat1.shape[-1],))
+        new_points = jnp.concatenate([g1, g2, direction], axis=-1)
+        for width in self.mlp1:
+            new_points = leaky(Dense(width)(new_points))
+        max_points = jnp.max(new_points, axis=2)
+        if self.output_clue:
+            mask = (new_points == jnp.max(new_points, axis=2,
+                                          keepdims=True)).astype(jnp.float32)
+            clue = jnp.sum(mask * new_points, axis=-1)   # (B, N1, K)
+            return max_points, clue, idx
+        return max_points

@@ -36,6 +36,10 @@ def group_knn(nsample: int, xyz, query_xyz, feats, method: str = "exact",
     if idx is None:
         idx = knn_point(nsample, xyz, query_xyz, method=method, recall=recall,
                         precision=precision)
+    # NB: keep the xyz and feature gathers SEPARATE. XLA row-gather cost is
+    # rows × ceil(row_bytes / 512): merging [xyz, feats] pushes typical
+    # widths (128ch) past the 128-lane vreg boundary and the merged gather
+    # costs ~2× (measured: flow0 head 2.9 → 3.9 ms when merged).
     g_xyz = group_points(xyz, idx)                     # (B, S, K, 3)
     rel = g_xyz - query_xyz[:, :, None, :]
     g_feat = group_points(feats, idx)                  # (B, S, K, C)

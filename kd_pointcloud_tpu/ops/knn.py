@@ -43,10 +43,32 @@ def _chunk_topk(xyz, query_chunk, k, method, recall, precision):
 
 
 def _fused_ok(k: int, n_queries: int, n_keys: int) -> bool:
-    """Shapes the fused Pallas kernel handles AND wins on (it loses to
-    approx_min_k below ~4096 keys, where selection is already cheap)."""
-    return (n_keys >= 4096 and n_keys % 1024 == 0
+    """Shapes the fused Pallas kernel handles AND wins on (measured on v5e:
+    1.29 ms vs 2.67 for 8192² k=32, 1.0 vs 1.55 at 2048 keys; below 2048
+    keys approx_min_k's selection is already cheap)."""
+    return (n_keys >= 2048 and n_keys % 1024 == 0
             and n_queries % 128 == 0 and k <= 64)
+
+
+def _fused_call(k, xyz, query, precision):
+    from .pallas.knn_fused import knn_fused
+    S = query.shape[1]
+    # measured optima on v5e (VPU-distance variant): tq=256 at 8192
+    # queries, tq=512 at <=2048
+    tq = 512 if (S <= 2048 and S % 512 == 0) else \
+        (256 if S % 256 == 0 else 128)
+    # indices are non-differentiable and the kernel has no VJP; distances
+    # are only consumed grad-free (IDW weights over raw positions) — cut
+    # tangents so training's JVP never reaches the kernel
+    return knn_fused(jax.lax.stop_gradient(query),
+                     jax.lax.stop_gradient(xyz), k, n_groups=1024, tq=tq,
+                     precision=precision, vpu=True)
+
+
+def _use_fused(method: str, k: int, query, xyz) -> bool:
+    # this image's TPU registers as platform "axon" (remote v5e tunnel)
+    return (method == "approx" and jax.default_backend() in ("tpu", "axon")
+            and _fused_ok(k, query.shape[1], xyz.shape[1]))
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
@@ -71,27 +93,13 @@ def knn_point(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
 
     Reference semantics: pointconv_util.py:96-107 (unsorted smallest-k).
 
-    Index-only queries on big key sets route to the fused Pallas kernel
-    (ops/pallas/knn_fused.py: one-dot distance tile + packed stride-min +
+    Approx queries on >=2048-key sets route to the fused Pallas kernel
+    (ops/pallas/knn_fused.py: VPU distance tile + packed stride-min +
     in-kernel exact top-k — no N² HBM matrix, no approx_min_k partial
-    reduce). Distance-consuming callers (warp/IDW, which differentiate
-    through d²) stay on knn_point_dist's approx_min_k path: the kernel has
-    no VJP and its returned distances carry masked mantissas.
+    reduce).
     """
-    # this image's TPU registers as platform "axon" (remote v5e tunnel)
-    if (method == "approx" and jax.default_backend() in ("tpu", "axon")
-            and _fused_ok(k, query.shape[1], xyz.shape[1])):
-        from .pallas.knn_fused import knn_fused
-        S = query.shape[1]
-        # measured optima on v5e: tq=256 at 8192 queries, tq=512 at <=2048
-        tq = 512 if (S <= 2048 and S % 512 == 0) else \
-            (256 if S % 256 == 0 else 128)
-        # indices are non-differentiable (torch.topk indices likewise carry
-        # no grad in the reference); cut tangents here so the train step's
-        # JVP never reaches the kernel (warped clouds DO carry gradients in)
-        return knn_fused(jax.lax.stop_gradient(query),
-                         jax.lax.stop_gradient(xyz), k, n_groups=1024, tq=tq,
-                         precision=precision)[1]
+    if _use_fused(method, k, query, xyz):
+        return _fused_call(k, xyz, query, precision)[1]
     return knn_point_dist(k, xyz, query, chunk=chunk, method=method,
                           recall=recall, precision=precision)[1]
 
@@ -101,7 +109,17 @@ def knn_point(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
 def knn_point_dist(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
                    *, chunk: int | None = 2048, method: str = "exact",
                    recall: float = DEFAULT_RECALL, precision: str = "highest"):
-    """Like knn_point but also returns the squared distances (B, S, k)."""
+    """Like knn_point but also returns the squared distances (B, S, k).
+
+    The fused-kernel path's distances carry the packed-index mantissa mask
+    (<=1e-3 relative; knn_fused docstring) and are NOT differentiable —
+    fine for every distance consumer here (3-NN IDW weights over raw level
+    positions); callers differentiating through distances (point_warp)
+    recompute them from gathered coordinates instead, as the reference does
+    (pointconv_util.py:2131-2133).
+    """
+    if _use_fused(method, k, query, xyz):
+        return _fused_call(k, xyz, query, precision)
     B, S, _ = query.shape
     if chunk is None or S <= chunk or S % chunk != 0:
         return _chunk_topk(xyz, query, k, method, recall, precision)

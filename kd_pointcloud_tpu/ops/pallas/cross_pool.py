@@ -19,6 +19,14 @@ Constraint: the gather primitive requires table and index shapes to match,
 so N_queries must equal N_keys (true for every cross layer — both clouds
 have the level's npoint). Callers with fewer keys than queries (IDW
 upsample) zero-pad the table.
+
+STATUS (round 2): NEGATIVE RESULT on current hardware/toolchain — Mosaic
+lowers `tpu.dynamic_gather` only when the source spans a single vreg along
+the gather dimension ("Multiple source vregs along gather dimension" on
+v5e for any table taller than one vreg), so this kernel compiles in
+interpret mode only. Kept as documentation of the design; production pools
+stay on the XLA row gather, which measures row-bound at ~6 cycles/row
+(ops/gather.py notes). Revisit if Mosaic grows multi-vreg dynamic_gather.
 """
 
 from __future__ import annotations

@@ -72,24 +72,39 @@ def _embed_keys(xyz: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(n_groups: int, n2_bits: int, k: int, extract: bool,
-            precision, xq_ref, xk_ref, out_ref, d_scratch):
+            precision, vpu: bool, xq_ref, xk_ref, out_ref, d_scratch):
     TQ = xq_ref.shape[0]
     N2 = xk_ref.shape[1]
     G = n_groups
     mask = jnp.int32(~((1 << n2_bits) - 1))
     lane = jax.lax.broadcasted_iota(jnp.int32, (TQ, G), 1)
 
-    # one MXU dot: exact squared distances for the whole tile. Precision
-    # must be HIGHEST (6-pass bf16 ≈ f32 products): |q|²/|k|² reach O(10³)
-    # on KITTI while true NN distances are O(10⁻³) — single-pass bf16
-    # products wipe out the cancellation (measured recall 0.15 vs 0.99;
-    # the same failure applies to ANY bf16 distance matmul on metric-scale
-    # clouds, including lax.approx_min_k over a default-precision
-    # square_distance: recall 0.26 on KITTI scene 0). Mosaic supports only
-    # DEFAULT and HIGHEST.
-    d_scratch[...] = jnp.dot(xq_ref[...], xk_ref[...],
-                             preferred_element_type=jnp.float32,
-                             precision=precision)
+    if vpu:
+        # VPU variant: per-channel broadcast subtract-square into the
+        # scratch — exact f32, no MXU. The distance dot burns 128
+        # contraction lanes for 5 real ones (×6 HIGHEST passes ≈ 150× FLOP
+        # padding); three broadcast FMAs over (TQ, N2) are cheaper. Unlike
+        # the round-1 kernels, the broadcasts happen ONCE per tile (into
+        # the full-width scratch), not once per G-slice pass — per-pass
+        # lane/sublane relayouts were what sank those kernels.
+        # key rows hold −2·coord (dot embedding); −k = 0.5 · row
+        d = jnp.zeros((TQ, N2), jnp.float32)
+        for c in range(3):
+            diff = xq_ref[:, c:c + 1] + 0.5 * xk_ref[c:c + 1, :]
+            d = d + diff * diff
+        d_scratch[...] = d
+    else:
+        # one MXU dot: exact squared distances for the whole tile.
+        # Precision must be HIGHEST (6-pass bf16 ≈ f32 products): |q|²/|k|²
+        # reach O(10³) on KITTI while true NN distances are O(10⁻³) —
+        # single-pass bf16 products wipe out the cancellation (measured
+        # recall 0.15 vs 0.99; the same failure applies to ANY bf16
+        # distance matmul on metric-scale clouds, including lax.approx_min_k
+        # over a default-precision square_distance: recall 0.26 on KITTI
+        # scene 0). Mosaic supports only DEFAULT and HIGHEST.
+        d_scratch[...] = jnp.dot(xq_ref[...], xk_ref[...],
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
 
     acc = jnp.full((TQ, G), INT32_MAX, jnp.int32)
     for p in range(N2 // G):
@@ -120,12 +135,13 @@ def _unpack(packed: jnp.ndarray, n2_bits: int):
 
 @functools.partial(jax.jit, static_argnums=(2,),
                    static_argnames=("n_groups", "tq", "extract", "recall",
-                                    "interpret", "precision", "semantics"))
+                                    "interpret", "precision", "semantics",
+                                    "vpu"))
 def knn_fused(query: jnp.ndarray, xyz: jnp.ndarray, k: int,
               *, n_groups: int = 1024, tq: int = 256,
               extract: bool = True, recall: float = 0.95,
               interpret: bool = False, precision: str = "highest",
-              semantics: str = "arbitrary"):
+              semantics: str = "arbitrary", vpu: bool = False):
     """(B, N1, 3) queries × (B, N2, 3) keys → (dist², idx) of shape (B, N1, k).
 
     Requires N1 % tq == 0 and N2 % n_groups == 0. dist² carries ≤1e-3
@@ -153,7 +169,8 @@ def knn_fused(query: jnp.ndarray, xyz: jnp.ndarray, k: int,
 
     prec = jax.lax.Precision(precision)
     out = pl.pallas_call(
-        functools.partial(_kernel, n_groups, n2_bits, k, extract, prec),
+        functools.partial(_kernel, n_groups, n2_bits, k, extract, prec,
+                          vpu),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tq, 128), lambda b, q: (b * (N1 // tq) + q, 0),

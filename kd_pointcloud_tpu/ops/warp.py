@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .gather import group_points
-from .knn import knn_point_dist
+from .knn import knn_point
 
 
 def point_warp(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
@@ -31,18 +31,25 @@ def point_warp(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
         return xyz2
 
     xyz1_to_2 = xyz1 + flow1
-    # 3-NN of each xyz2 point among the flowed xyz1 points.
-    d2, idx = knn_point_dist(3, xyz1_to_2, xyz2, method=method,
-                             recall=recall, precision=precision)  # (B, N2, 3)
-    # The reference recomputes dist from the gathered offsets; numerically
-    # identical to sqrt of the knn distances. Clamp INSIDE the sqrt:
-    # sqrt(1e-20) equals the reference's 1e-10 clamp (:2133) but keeps the
-    # gradient finite at coincident points (jax sqrt'(0)=inf; torch.norm
-    # defines a zero subgradient the reference relies on).
+    # 3-NN of each xyz2 point among the flowed xyz1 points. Indices only —
+    # like the reference, the distances used below are recomputed from the
+    # gathered coordinates (pointconv_util.py:2131-2133), which keeps the
+    # gradient path identical (through the gathered positions, never through
+    # the selection) and lets the index search take the fused Pallas kernel.
+    idx = knn_point(3, xyz1_to_2, xyz2, method=method,
+                    recall=recall, precision=precision)      # (B, N2, 3)
+    # one gather for neighbor positions AND their flows (same rows)
+    grouped = group_points(jnp.concatenate([xyz1_to_2, flow1], axis=-1), idx)
+    neighbor_pos, grouped_flow1 = grouped[..., :3], grouped[..., 3:]
+
+    # Clamp INSIDE the sqrt: sqrt(1e-20) equals the reference's 1e-10 clamp
+    # (:2133) but keeps the gradient finite at coincident points (jax
+    # sqrt'(0)=inf; torch.norm defines a zero subgradient the reference
+    # relies on).
+    d2 = jnp.sum((xyz2[:, :, None, :] - neighbor_pos) ** 2, axis=-1)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
     inv = 1.0 / dist
     weight = inv / jnp.sum(inv, axis=-1, keepdims=True)
 
-    grouped_flow1 = group_points(flow1, idx)                # (B, N2, 3, 3)
     flow2 = jnp.sum(weight[..., None] * grouped_flow1, axis=2)
     return xyz2 - flow2

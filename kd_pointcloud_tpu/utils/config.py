@@ -50,8 +50,12 @@ def postprocess(args: Config) -> Config:
     assert "data_root" in args, "config must set data_root"
 
     if not args.get("evaluate", False):
-        args.setdefault("init", "xavier")
-        args.setdefault("gain", 1.0)
+        # NOTE: the reference injects init='xavier'/gain defaults here
+        # (cmd_args.py:25-28) but its entry scripts never call
+        # init_weights_multi (main_utils.py:34-51 is dead code, SURVEY
+        # §2.1-30) — actual reference behavior is torch-default init, which
+        # is what nn/blocks.py reproduces. The keys are accepted but
+        # deliberately NOT re-injected or consumed.
         if args.get("custom_lr"):
             args.lrs = [float(x) for x in args.lrs.split(",")][::-1]
             args.lr_switch_epochs = [int(x) for x in

@@ -228,3 +228,34 @@ class TestSetAbstractFuse:
     def test_fuse_d(self, cloud):
         nx, out, idx = run(ex.SetAbstractFuseD(16, K, (32, 32), (32,)), *cloud)
         assert nx.shape == (B, 16, 3) and out.shape == (B, 16, 32)
+
+
+class TestRound2Stragglers:
+    """The last three inventory items (VERDICT round-1 #7): construct +
+    forward + shape, like the rest of the experimental inventory."""
+
+    def test_pointconv_svdd(self, cloud):
+        new_xyz, out, idx = run(ex.PointConvSVDD(16, K, 32), *cloud)
+        assert new_xyz.shape == (B, 16, 3)
+        assert out.shape == (B, 16, 32)
+        assert idx.shape == (B, 16)
+
+    def test_pointconv_weight(self, cloud):
+        new_xyz, out, idx = run(ex.PointConvWeight(16, K, 32), *cloud)
+        assert new_xyz.shape == (B, 16, 3)
+        assert out.shape == (B, 16, 32)
+
+    def test_no_cross_layer(self, cloud, rng):
+        xyz, feats = cloud
+        xyz2 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        out = run(ex.NoCrossLayer(K, (32, 24)), xyz, xyz2, feats, feats)
+        assert out.shape == (B, N, 24)
+
+    def test_no_cross_layer_clue(self, cloud, rng):
+        xyz, feats = cloud
+        xyz2 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        maxp, clue, idx = run(ex.NoCrossLayer(K, (32, 24), output_clue=True),
+                              xyz, xyz2, feats, feats)
+        assert maxp.shape == (B, N, 24)
+        assert clue.shape == (B, N, K)
+        assert idx.shape == (B, N, K)
