@@ -20,7 +20,7 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops import knn_point
+from ..ops import group_points, knn_point
 from .blocks import MLP, Dense
 from .pointconv import PointConv
 
@@ -39,13 +39,15 @@ class SceneFlowEstimatorResidual(nn.Module):
     def __call__(self, xyz, feats, cost_volume, flow: Optional[jnp.ndarray] = None,
                  train: bool = True):
         x = jnp.concatenate([feats, cost_volume], axis=-1)
-        # one self-kNN shared by the whole PointConv stack (same xyz)
+        # one self-kNN AND one neighbor-position gather shared by the whole
+        # PointConv stack (same xyz for every conv)
         idx = knn_point(self.neighbors, xyz, xyz, method=self.knn_method,
                         recall=self.knn_recall,
                         precision=self.knn_precision)
+        rel = group_points(xyz, idx) - xyz[:, :, None, :]
         for ch in self.channels:
             x = PointConv(self.neighbors, ch, weightnet=self.weightnet,
-                          bn=True)(xyz, x, train=train, knn_idx=idx)
+                          bn=True)(xyz, x, train=train, knn_idx=idx, rel=rel)
         x = MLP(self.mlp)(x)
         flow_local = Dense(3)(x)
         flow_local = jnp.clip(flow_local, -self.clamp, self.clamp)
@@ -70,9 +72,10 @@ class SceneFlowEstimatorPointConv(nn.Module):
         idx = knn_point(self.neighbors, xyz, xyz, method=self.knn_method,
                         recall=self.knn_recall,
                         precision=self.knn_precision)
+        rel = group_points(xyz, idx) - xyz[:, :, None, :]
         for ch in self.channels:
             x = PointConv(self.neighbors, ch, weightnet=self.weightnet,
-                          bn=True)(xyz, x, train=train, knn_idx=idx)
+                          bn=True)(xyz, x, train=train, knn_idx=idx, rel=rel)
         x = MLP(self.mlp)(x)
         out_flow = jnp.clip(Dense(3)(x), -self.clamp, self.clamp)
         return x, out_flow
@@ -103,11 +106,12 @@ class SceneFlowEstimatorResidualIter(nn.Module):
         idx = knn_point(self.neighbors, xyz, xyz, method=self.knn_method,
                         recall=self.knn_recall,
                         precision=self.knn_precision)
+        rel = group_points(xyz, idx) - xyz[:, :, None, :]
         x = jnp.concatenate([feats, cost_volume], axis=-1)
         for _ in range(self.iters):
             h = x
             for conv in convs:
-                h = conv(xyz, h, train=train, knn_idx=idx)
+                h = conv(xyz, h, train=train, knn_idx=idx, rel=rel)
             h = mlp(h)
             flow_local = jnp.clip(fc(h), -self.clamp, self.clamp)
             flow = flow_local if flow is None else flow_local + flow

@@ -26,12 +26,16 @@ from .weightnet import WeightNet
 
 
 def group_knn(nsample: int, xyz, query_xyz, feats, method: str = "exact",
-              recall: float = 0.95, idx=None, precision: str = "highest"):
+              recall: float = 0.95, idx=None, precision: str = "highest",
+              rel=None):
     """kNN-group `feats` (and relative coords) of `xyz` around `query_xyz`.
 
     Returns (grouped [B,S,K,3+C], rel_xyz [B,S,K,3]).
     Reference: group/group_query (pointconv_util.py:135-182).
-    `idx` lets callers share one kNN across several convs on the same clouds.
+    `idx` lets callers share one kNN across several convs on the same
+    clouds; `rel` additionally shares the (B,S,K,3) neighbor-position
+    gather (identical for every conv in a stack — one 74k-row gather saved
+    per extra conv at l0).
     """
     if idx is None:
         idx = knn_point(nsample, xyz, query_xyz, method=method, recall=recall,
@@ -40,8 +44,9 @@ def group_knn(nsample: int, xyz, query_xyz, feats, method: str = "exact",
     # rows × ceil(row_bytes / 512): merging [xyz, feats] pushes typical
     # widths (128ch) past the 128-lane vreg boundary and the merged gather
     # costs ~2× (measured: flow0 head 2.9 → 3.9 ms when merged).
-    g_xyz = group_points(xyz, idx)                     # (B, S, K, 3)
-    rel = g_xyz - query_xyz[:, :, None, :]
+    if rel is None:
+        g_xyz = group_points(xyz, idx)                 # (B, S, K, 3)
+        rel = g_xyz - query_xyz[:, :, None, :]
     g_feat = group_points(feats, idx)                  # (B, S, K, C)
     return jnp.concatenate([rel, g_feat], axis=-1), rel
 
@@ -69,10 +74,11 @@ class PointConv(nn.Module):
     knn_precision: str = "highest"
 
     @nn.compact
-    def __call__(self, xyz, feats, train: bool = True, knn_idx=None):
+    def __call__(self, xyz, feats, train: bool = True, knn_idx=None,
+                 rel=None):
         grouped, rel = group_knn(self.nsample, xyz, xyz, feats,
                                  self.knn_method, self.knn_recall, knn_idx,
-                                 precision=self.knn_precision)
+                                 precision=self.knn_precision, rel=rel)
         w = WeightNet(self.weightnet)(rel)
         y = weighted_contract(grouped, w)
         y = Dense(self.out_channel)(y)
