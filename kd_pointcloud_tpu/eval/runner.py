@@ -66,12 +66,7 @@ def make_eval_metrics_step(model, with_2d: bool = True):
     if key in _STEP_CACHE:
         return _STEP_CACHE[key]
 
-    def project(pc, intr):
-        f, cx, cy, constx, consty, constz = (intr[:, i:i + 1]
-                                             for i in range(6))
-        x = (pc[..., 0] * f + cx * pc[..., 2] + constx) / (pc[..., 2] + constz)
-        y = (pc[..., 1] * f + cy * pc[..., 2] + consty) / (pc[..., 2] + constz)
-        return jnp.stack([x, y], axis=-1)
+    project = project_points
 
     @jax.jit
     def step(variables, pos1, pos2, norm1, norm2, flow, intr):
@@ -95,6 +90,16 @@ def make_eval_metrics_step(model, with_2d: bool = True):
 
     _STEP_CACHE[key] = step
     return step
+
+
+def project_points(pc, intr):
+    """Batched 3D→2D projection with per-sample intrinsics.
+    pc: (B, N, 3); intr: (B, 6) rows of (f, cx, cy, constx, consty, constz)
+    — utils/geometry.py:61 semantics, device-side."""
+    f, cx, cy, constx, consty, constz = (intr[:, i:i + 1] for i in range(6))
+    x = (pc[..., 0] * f + cx * pc[..., 2] + constx) / (pc[..., 2] + constz)
+    y = (pc[..., 1] * f + cy * pc[..., 2] + consty) / (pc[..., 2] + constz)
+    return jnp.stack([x, y], axis=-1)
 
 
 def _intrinsics_for(paths) -> np.ndarray:

@@ -204,6 +204,14 @@ def distill(args: Config, mode: str = "standard",
             np.zeros(feat_shape.shape, np.float32),
             np.zeros(feat_shape.shape, np.float32))["params"]
         b_opt = b_tx.init(b_params)
+        if args.get("pretrain"):
+            # bridge params/opt travel with the student checkpoint — restore
+            # them too when resuming (full_state_tree extra trees)
+            _, _, _, extra = restore_train_state(
+                args.pretrain, state,
+                extra={"bridge_params": b_params, "bridge_opt": b_opt})
+            b_params = extra["bridge_params"]
+            b_opt = extra["bridge_opt"]
         step = make_bridge_distill_step(t_model, s_model, bridge, tx, b_tx,
                                         gamma=args.get("gamma", 0.3),
                                         beta=args.get("beta", 0.8),

@@ -23,7 +23,9 @@ if __name__ == "__main__":
     _, val_ds = build_datasets(args, need_train=False)
     if args.get("max_samples"):          # smoke-run support
         val_ds.samples = val_ds.samples[: args.max_samples]
+    # pad_last: batch>1 sweeps keep every sample (device metrics mask pads)
     loader = DataLoader(val_ds, args.batch_size, shuffle=False,
+                        drop_last=False, pad_last=True,
                         num_workers=args.get("workers", 2))
 
     first = next(iter(loader))
@@ -35,12 +37,15 @@ if __name__ == "__main__":
         if path.endswith(".pth"):   # reference torch checkpoint
             from kd_pointcloud_tpu.models.torch_import import \
                 load_torch_checkpoint
-            params, stats = load_torch_checkpoint(path)
+            preset = args.get("model_preset", "teacher")
+            family = ("fg" if preset in ("fg", "bifeat")
+                      else "vote" if preset == "vote" else "teacher")
+            params, stats = load_torch_checkpoint(path, family=family)
             variables = {"params": params, "batch_stats": stats}
         else:
-            restored = load_checkpoint(
-                path, {"params": variables["params"],
-                       "batch_stats": variables.get("batch_stats", {})})
+            # structure-free restore: works for both bare weight checkpoints
+            # and full train-state checkpoints (opt_state etc. ignored)
+            restored = load_checkpoint(path)
             variables = {"params": restored["params"],
                          "batch_stats": restored.get("batch_stats", {})}
         logger.info("loaded %s", path)

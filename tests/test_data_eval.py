@@ -143,3 +143,30 @@ class TestNativeIO:
         outs = native_io.read_batch([p32, p64])
         np.testing.assert_array_equal(outs[0], arr32)
         assert native_io.npy_info(p32) == (100, 3)
+
+
+class TestDeviceProjection:
+    def test_matches_host_geometry_ft3d_and_kitti(self, rng):
+        """The device-side projection used by the device-metrics eval step
+        reproduces utils-geometry's host path for both the FT3D constants
+        and a per-scene KITTI calib."""
+        import jax.numpy as jnp
+
+        from kd_pointcloud_tpu.eval.geometry import get_batch_2d_flow
+        from kd_pointcloud_tpu.eval.runner import _intrinsics_for, project_points
+
+        pc1 = rng.randn(2, 64, 3).astype(np.float32) + np.array([0, 0, 10],
+                                                                np.float32)
+        flow = rng.randn(2, 64, 3).astype(np.float32) * 0.1
+        for paths in (["ft3d/sceneA", "ft3d/sceneB"],
+                      ["kitti_processed/000002", "kitti_processed/000005"]):
+            intr = _intrinsics_for(paths)
+            px1 = np.asarray(project_points(jnp.asarray(pc1),
+                                            jnp.asarray(intr)))
+            pxw = np.asarray(project_points(jnp.asarray(pc1 + flow),
+                                            jnp.asarray(intr)))
+            dev_flow = pxw - px1
+            host_pred, _ = get_batch_2d_flow(pc1, pc1 + flow, pc1 + flow,
+                                             paths)
+            np.testing.assert_allclose(dev_flow, host_pred, rtol=1e-4,
+                                       atol=1e-3)
