@@ -43,7 +43,7 @@ from ..nn.flowhead import SceneFlowEstimatorResidual
 from ..nn.pointconv import PointConv, PointConvD, PointConvNonLinear
 import functools
 
-from ..ops import point_warp, upsample_idw
+from ..ops import knn_point_dist, point_warp, upsample_idw
 from .config import ModelConfig
 
 
@@ -222,11 +222,20 @@ class BidPointFlowNet(nn.Module):
         # ---------------- l2, l1, l0 coarse-to-fine
         for lvl in (2, 1, 0):
             dec = deconvs[lvl]
+            # ONE 3-NN search per level serves both upsample consumers: the
+            # deconv feature skip (both clouds stacked) and the flow+feat
+            # upsample (cloud-1 half of the same geometry)
+            d2_up, idx_up = knn_point_dist(
+                3, jnp.concatenate([pc1[lvl + 1], pc2[lvl + 1]], 0),
+                jnp.concatenate([pc1[lvl], pc2[lvl]], 0),
+                method=cfg.knn_method, recall=cfg.knn_recall,
+                precision=cfg.knn_precision)
             # inter-level feature skip from lvl+1 → lvl (both clouds stacked)
             i_both = dec(upsample(
                 jnp.concatenate([pc1[lvl], pc2[lvl]], 0),
                 jnp.concatenate([pc1[lvl + 1], pc2[lvl + 1]], 0),
-                jnp.concatenate([f1_up_src, f2_up_src], 0)))
+                jnp.concatenate([f1_up_src, f2_up_src], 0),
+                knn=(d2_up, idx_up)))
             i1, i2 = i_both[:B], i_both[B:]
             inter1[lvl], inter2[lvl] = i1, i2
             if cfg.swap_interlevel:
@@ -236,9 +245,11 @@ class BidPointFlowNet(nn.Module):
                 c_feat1 = jnp.concatenate([e1["feat"][lvl], i1], -1)
                 c_feat2 = jnp.concatenate([e2["feat"][lvl], i2], -1)
 
-            # flow + feature share the same source geometry → one IDW kNN
+            # flow + feature share the same source geometry → one IDW kNN,
+            # itself the cloud-1 half of the deconv upsample's search
             both_up = upsample(pc1[lvl], pc1[lvl + 1], jnp.concatenate(
-                [cfg.scale * up_flow_src, up_feat], axis=-1))
+                [cfg.scale * up_flow_src, up_feat], axis=-1),
+                knn=(d2_up[:B], idx_up[:B]))
             up_flow, feat_up = both_up[..., :3], both_up[..., 3:]
 
             iter_flows, iter_cfeats1, iter_cfeats2 = [], [], []

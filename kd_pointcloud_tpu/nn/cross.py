@@ -27,6 +27,30 @@ import jax.numpy as jnp
 from ..ops import group_points, knn_point
 from .blocks import MLP, Dense, leaky
 
+# XLA row-gather cost is rows × ceil(row_bytes/512 B): two gathers that share
+# indices merge into one for free while the combined width stays ≤128 f32
+# lanes (measured on v5e; crossing the boundary doubles the per-row cost).
+_MERGE_LANES = 128
+
+
+def _bid_knn(nsample, pc1, pc2, *, method, recall, precision):
+    """Both directions' kNN in ONE kernel launch (queries/keys stacked on the
+    batch axis) when the clouds have equal size — halves the per-call fixed
+    cost of the Pallas kNN kernel. Results are bit-identical to two calls
+    (batch elements are independent)."""
+    if pc1.shape == pc2.shape:
+        B = pc1.shape[0]
+        q = jnp.concatenate([pc1, pc2], axis=0)
+        kz = jnp.concatenate([pc2, pc1], axis=0)
+        idx = knn_point(nsample, kz, q, method=method, recall=recall,
+                        precision=precision)
+        return idx[:B], idx[B:]
+    idx12 = knn_point(nsample, pc2, pc1, method=method, recall=recall,
+                      precision=precision)
+    idx21 = knn_point(nsample, pc1, pc2, method=method, recall=recall,
+                      precision=precision)
+    return idx12, idx21
+
 
 def _cross_pool(nsample, xyz1, xyz2, points1, points2, pos, mlp,
                 *, knn_idx=None, method: str = "exact", recall: float = 0.95,
@@ -89,28 +113,63 @@ class CrossLayerLight(nn.Module):
         mlp1 = MLP(self.mlp1[1:], name="mlp1")
 
         # one kNN per direction, shared by both rounds (the reference runs
-        # three identical-geometry kNNs per layer)
-        idx12 = knn_point(self.nsample, pc2, pc1, method=self.knn_method,
-                          recall=self.knn_recall,
-                          precision=self.knn_precision)
-        idx21 = knn_point(self.nsample, pc1, pc2, method=self.knn_method,
-                          recall=self.knn_recall,
-                          precision=self.knn_precision)
-
-        feat1_new = _cross_pool(self.nsample, pc1, pc2, cross_t11(feat1),
-                                cross_t22(feat2), pos1, mlp1, knn_idx=idx12)
-        feat2_new = _cross_pool(self.nsample, pc2, pc1, cross_t11(feat2),
-                                cross_t22(feat1), pos1, mlp1, knn_idx=idx21)
+        # three identical-geometry kNNs per layer), both directions in one
+        # stacked kernel launch
+        idx12, idx21 = _bid_knn(self.nsample, pc1, pc2,
+                                method=self.knn_method,
+                                recall=self.knn_recall,
+                                precision=self.knn_precision)
 
         if self.mlp2 is None:
+            feat1_new = _cross_pool(self.nsample, pc1, pc2, cross_t11(feat1),
+                                    cross_t22(feat2), pos1, mlp1,
+                                    knn_idx=idx12)
+            feat2_new = _cross_pool(self.nsample, pc2, pc1, cross_t11(feat2),
+                                    cross_t22(feat1), pos1, mlp1,
+                                    knn_idx=idx21)
             return feat1_new, feat2_new
 
-        feat1_new = Dense(self.mlp2[0], name="cross_t1")(feat1_new)
-        feat2_new = Dense(self.mlp2[0], name="cross_t2")(feat2_new)
+        cross_t1 = Dense(self.mlp2[0], name="cross_t1")
+        cross_t2 = Dense(self.mlp2[0], name="cross_t2")
         pos2 = Dense(self.mlp2[0], name="pos2")
         mlp2 = MLP(self.mlp2[1:], name="mlp2")
-        feat1_final = _cross_pool(self.nsample, pc1, pc2, feat1_new, feat2_new,
-                                  pos2, mlp2, knn_idx=idx12)
+
+        if self.mlp1[0] + self.mlp2[0] > _MERGE_LANES:
+            feat1_new = _cross_pool(self.nsample, pc1, pc2, cross_t11(feat1),
+                                    cross_t22(feat2), pos1, mlp1,
+                                    knn_idx=idx12)
+            feat2_new = _cross_pool(self.nsample, pc2, pc1, cross_t11(feat2),
+                                    cross_t22(feat1), pos1, mlp1,
+                                    knn_idx=idx21)
+            feat1_new = cross_t1(feat1_new)
+            feat2_new = cross_t2(feat2_new)
+            feat1_final = _cross_pool(self.nsample, pc1, pc2, feat1_new,
+                                      feat2_new, pos2, mlp2, knn_idx=idx12)
+            return feat1_new, feat2_new, feat1_final
+
+        # Merged-gather schedule (same math, one fewer big gather): round 1's
+        # 2→1 pool runs FIRST, which makes round 2's key-side table
+        # (feat2_new + pos2) available before any idx12 gather — so the two
+        # idx12-indexed tables ride ONE row gather. The query-side terms
+        # (v, below) never go through a gather and can depend on round 1's
+        # 1→2 output as usual.
+        feat2_new = _cross_pool(self.nsample, pc2, pc1, cross_t11(feat2),
+                                cross_t22(feat1), pos1, mlp1, knn_idx=idx21)
+        feat2_new = cross_t2(feat2_new)
+
+        u1 = cross_t22(feat2) + pos1(pc2)              # round-1 key table
+        v1 = (cross_t11(feat1) - pos1(pc1)
+              + pos1(jnp.zeros_like(pc1[:, :1, :])))
+        u2 = feat2_new + pos2(pc2)                     # round-2 key table
+        c1 = self.mlp1[0]
+        g = group_points(jnp.concatenate([u1, u2], axis=-1), idx12)
+        feat1_new = jnp.max(mlp1(leaky(g[..., :c1] + v1[:, :, None, :])),
+                            axis=2)
+        feat1_new = cross_t1(feat1_new)
+        v2 = (feat1_new - pos2(pc1)
+              + pos2(jnp.zeros_like(pc1[:, :1, :])))
+        feat1_final = jnp.max(mlp2(leaky(g[..., c1:] + v2[:, :, None, :])),
+                              axis=2)
         return feat1_new, feat2_new, feat1_final
 
 
@@ -131,17 +190,18 @@ class CrossLayerLightFG(nn.Module):
     knn_recall: float = 0.95
     knn_precision: str = "highest"
 
-    def _fg_idx(self, xyz1, xyz2, fg1, fg2):
-        """Union of feature-space and euclidean kNN (pointconv_util.py:1921-1926).
-        Identical for both rounds of a direction — computed once."""
+    def _fg_idx_bid(self, xyz1, xyz2, fg1, fg2):
+        """Union of feature-space and euclidean kNN for BOTH directions
+        (pointconv_util.py:1921-1926). Identical for both rounds of a
+        direction — computed once; the two directions of each search kind
+        ride one stacked kernel launch."""
         half = self.nsample // 2
-        idx_f = knn_point(half, fg2, fg1, method=self.knn_method,
-                          recall=self.knn_recall,
-                          precision=self.knn_precision)          # feature-space kNN
-        idx_e = knn_point(half, xyz2, xyz1, method=self.knn_method,
-                          recall=self.knn_recall,
-                          precision=self.knn_precision)          # euclidean kNN
-        return jnp.concatenate([idx_f, idx_e], axis=-1)    # (B, N1, K)
+        kw = dict(method=self.knn_method, recall=self.knn_recall,
+                  precision=self.knn_precision)
+        idx12_f, idx21_f = _bid_knn(half, fg1, fg2, **kw)   # feature-space
+        idx12_e, idx21_e = _bid_knn(half, xyz1, xyz2, **kw)  # euclidean
+        return (jnp.concatenate([idx12_f, idx12_e], axis=-1),
+                jnp.concatenate([idx21_f, idx21_e], axis=-1))
 
     def _fg_pool(self, idx, xyz1, xyz2, points1, points2, pos, mlp):
         # linear-pos factorization (see _cross_pool): u[idx] + v[q]
@@ -157,23 +217,45 @@ class CrossLayerLightFG(nn.Module):
         cross_t22 = Dense(self.mlp1[0], name="cross_t22")
         pos1 = Dense(self.mlp1[0], name="pos1")
         mlp1 = MLP(self.mlp1[1:], name="mlp1")
-
-        idx12 = self._fg_idx(pc1, pc2, fgfeat1, fgfeat2)
-        idx21 = self._fg_idx(pc2, pc1, fgfeat2, fgfeat1)
-
-        feat1_new = self._fg_pool(idx12, pc1, pc2, cross_t11(feat1),
-                                  cross_t22(feat2), pos1, mlp1)
-        feat1_new = Dense(self.mlp2[0], name="cross_t1")(feat1_new)
-        feat2_new = self._fg_pool(idx21, pc2, pc1, cross_t11(feat2),
-                                  cross_t22(feat1), pos1, mlp1)
-        feat2_new = Dense(self.mlp2[0], name="cross_t2")(feat2_new)
-
+        cross_t1 = Dense(self.mlp2[0], name="cross_t1")
+        cross_t2 = Dense(self.mlp2[0], name="cross_t2")
         pos2 = Dense(self.mlp2[0], name="pos2")
         mlp2 = MLP(self.mlp2[1:], name="mlp2")
-        # the final round keeps the same base feature clouds for the
-        # feature-space kNN (pointconv_util.py:1956) -> same indices.
-        feat1_final = self._fg_pool(idx12, pc1, pc2, feat1_new, feat2_new,
-                                    pos2, mlp2)
+
+        idx12, idx21 = self._fg_idx_bid(pc1, pc2, fgfeat1, fgfeat2)
+
+        if self.mlp1[0] + self.mlp2[0] > _MERGE_LANES:
+            feat1_new = self._fg_pool(idx12, pc1, pc2, cross_t11(feat1),
+                                      cross_t22(feat2), pos1, mlp1)
+            feat1_new = cross_t1(feat1_new)
+            feat2_new = self._fg_pool(idx21, pc2, pc1, cross_t11(feat2),
+                                      cross_t22(feat1), pos1, mlp1)
+            feat2_new = cross_t2(feat2_new)
+            # the final round keeps the same base feature clouds for the
+            # feature-space kNN (pointconv_util.py:1956) -> same indices.
+            feat1_final = self._fg_pool(idx12, pc1, pc2, feat1_new, feat2_new,
+                                        pos2, mlp2)
+            return feat1_new, feat2_new, feat1_final
+
+        # merged-gather schedule (see CrossLayerLight): 2→1 pool first, then
+        # round 1's and round 2's idx12 key tables share one row gather
+        feat2_new = self._fg_pool(idx21, pc2, pc1, cross_t11(feat2),
+                                  cross_t22(feat1), pos1, mlp1)
+        feat2_new = cross_t2(feat2_new)
+
+        u1 = cross_t22(feat2) + pos1(pc2)
+        v1 = (cross_t11(feat1) - pos1(pc1)
+              + pos1(jnp.zeros_like(pc1[:, :1, :])))
+        u2 = feat2_new + pos2(pc2)
+        c1 = self.mlp1[0]
+        g = group_points(jnp.concatenate([u1, u2], axis=-1), idx12)
+        feat1_new = jnp.max(mlp1(leaky(g[..., :c1] + v1[:, :, None, :])),
+                            axis=2)
+        feat1_new = cross_t1(feat1_new)
+        v2 = (feat1_new - pos2(pc1)
+              + pos2(jnp.zeros_like(pc1[:, :1, :])))
+        feat1_final = jnp.max(mlp2(leaky(g[..., c1:] + v2[:, :, None, :])),
+                              axis=2)
         return feat1_new, feat2_new, feat1_final
 
 
@@ -221,26 +303,52 @@ class CrossLayerLightVote(nn.Module):
         cross_t22 = Dense(self.mlp1[0], name="cross_t22")
         pos1 = Dense(self.mlp1[0], name="pos1")
         mlp1 = MLP(self.mlp1[1:], name="mlp1")
-
-        idx12 = knn_point(self.nsample, pc2, pc1, method=self.knn_method,
-                          recall=self.knn_recall,
-                          precision=self.knn_precision)
-        idx21 = knn_point(self.nsample, pc1, pc2, method=self.knn_method,
-                          recall=self.knn_recall,
-                          precision=self.knn_precision)
-
-        feat1_new = _cross_pool(self.nsample, pc1, pc2, cross_t11(feat1),
-                                cross_t22(feat2), pos1, mlp1, knn_idx=idx12)
-        feat2_new = _cross_pool(self.nsample, pc2, pc1, cross_t11(feat2),
-                                cross_t22(feat1), pos1, mlp1, knn_idx=idx21)
-
-        feat1_new = Dense(self.mlp2[0], name="cross_t1")(feat1_new)
-        feat2_new = Dense(self.mlp2[0], name="cross_t2")(feat2_new)
+        cross_t1 = Dense(self.mlp2[0], name="cross_t1")
+        cross_t2 = Dense(self.mlp2[0], name="cross_t2")
         pos2 = Dense(self.mlp2[0], name="pos2")
         mlp2 = MLP(self.mlp2[1:], name="mlp2")
-        pooled, pre_pool, neighbor_xyz = _cross_pool(
-            self.nsample, pc1, pc2, feat1_new, feat2_new, pos2, mlp2,
-            knn_idx=idx12, return_neighbors=True)
+
+        idx12, idx21 = _bid_knn(self.nsample, pc1, pc2,
+                                method=self.knn_method,
+                                recall=self.knn_recall,
+                                precision=self.knn_precision)
+
+        # round 2 gathers its key features AND neighbor positions with idx12
+        # (the vote needs both); merging round 1's key table in as well needs
+        # mlp1[0] + mlp2[0] + 3 lanes
+        if self.mlp1[0] + self.mlp2[0] + 3 > _MERGE_LANES:
+            feat1_new = _cross_pool(self.nsample, pc1, pc2, cross_t11(feat1),
+                                    cross_t22(feat2), pos1, mlp1,
+                                    knn_idx=idx12)
+            feat2_new = _cross_pool(self.nsample, pc2, pc1, cross_t11(feat2),
+                                    cross_t22(feat1), pos1, mlp1,
+                                    knn_idx=idx21)
+            feat1_new = cross_t1(feat1_new)
+            feat2_new = cross_t2(feat2_new)
+            pooled, pre_pool, neighbor_xyz = _cross_pool(
+                self.nsample, pc1, pc2, feat1_new, feat2_new, pos2, mlp2,
+                knn_idx=idx12, return_neighbors=True)
+        else:
+            feat2_new = _cross_pool(self.nsample, pc2, pc1, cross_t11(feat2),
+                                    cross_t22(feat1), pos1, mlp1,
+                                    knn_idx=idx21)
+            feat2_new = cross_t2(feat2_new)
+
+            u1 = cross_t22(feat2) + pos1(pc2)
+            v1 = (cross_t11(feat1) - pos1(pc1)
+                  + pos1(jnp.zeros_like(pc1[:, :1, :])))
+            c1 = self.mlp1[0]
+            g = group_points(
+                jnp.concatenate([u1, feat2_new, pc2], axis=-1), idx12)
+            feat1_new = jnp.max(mlp1(leaky(g[..., :c1] + v1[:, :, None, :])),
+                                axis=2)
+            feat1_new = cross_t1(feat1_new)
+            g2, neighbor_xyz = g[..., c1:-3], g[..., -3:]
+            direction_xyz = neighbor_xyz - pc1[:, :, None, :]
+            pre_pool = mlp2(leaky(g2 + feat1_new[:, :, None, :]
+                                  + pos2(direction_xyz)))
+            pooled = jnp.max(pre_pool, axis=2)
+
         vote = Dense(1, name="vote")(pre_pool)            # (B, N1, K, 1)
         vote = jax.nn.softmax(vote, axis=2)
         flow = jnp.sum(vote * neighbor_xyz, axis=2) - pc1  # (B, N1, 3)

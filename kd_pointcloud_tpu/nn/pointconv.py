@@ -40,10 +40,15 @@ def group_knn(nsample: int, xyz, query_xyz, feats, method: str = "exact",
     if idx is None:
         idx = knn_point(nsample, xyz, query_xyz, method=method, recall=recall,
                         precision=precision)
-    # NB: keep the xyz and feature gathers SEPARATE. XLA row-gather cost is
-    # rows × ceil(row_bytes / 512): merging [xyz, feats] pushes typical
-    # widths (128ch) past the 128-lane vreg boundary and the merged gather
-    # costs ~2× (measured: flow0 head 2.9 → 3.9 ms when merged).
+    # XLA row-gather cost is rows × ceil(row_bytes / 512 B): [xyz ⊕ feats]
+    # rides ONE gather while 3 + C stays within the 128-lane vreg boundary
+    # (the l1 PointConvD: 3+64). Past the boundary the merged gather costs
+    # ~2× (measured: flow0 head 2.9 → 3.9 ms at 3+128) — gathers stay
+    # separate there.
+    if rel is None and 3 + feats.shape[-1] <= 128:
+        g = group_points(jnp.concatenate([xyz, feats], axis=-1), idx)
+        rel = g[..., :3] - query_xyz[:, :, None, :]
+        return jnp.concatenate([rel, g[..., 3:]], axis=-1), rel
     if rel is None:
         g_xyz = group_points(xyz, idx)                 # (B, S, K, 3)
         rel = g_xyz - query_xyz[:, :, None, :]

@@ -36,6 +36,10 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
       matching sampling_gpu.cu:114-115.
     """
     if backend == "auto":
+        # NB: keep "xla" off the TPU — besides being slow, the XLA fori_loop
+        # path MISCOMPILES on v5e at (B=6, N=8192, npoint=2048): its indices
+        # diverge from a host numpy oracle while the Pallas kernel matches
+        # it exactly (verified on real hardware, round 2).
         backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") \
             else "xla"
     if backend == "pallas":

@@ -54,7 +54,7 @@ def three_interpolate(feats: jnp.ndarray, idx: jnp.ndarray,
 def upsample_idw(dense_xyz: jnp.ndarray, sparse_xyz: jnp.ndarray,
                  sparse_feat: jnp.ndarray, *, method: str = "exact",
                  recall: float = 0.95,
-                 precision: str = "highest") -> jnp.ndarray:
+                 precision: str = "highest", knn=None) -> jnp.ndarray:
     """Upsample per-point features from a sparse level to a dense level by
     3-NN inverse-distance weighting.
 
@@ -62,14 +62,19 @@ def upsample_idw(dense_xyz: jnp.ndarray, sparse_xyz: jnp.ndarray,
       dense_xyz: (B, N, 3) target positions.
       sparse_xyz: (B, S, 3) source positions.
       sparse_feat: (B, S, C) source features (e.g. a coarse flow).
+      knn: optional precomputed (d2, idx) 3-NN of sparse_xyz around
+        dense_xyz — lets callers share one search across several upsamples
+        over the same geometry (decoder levels upsample deconv features AND
+        flow+feat along identical dense/sparse clouds).
     Returns:
       (B, N, C) interpolated features.
 
     Reference: UpsampleFlow.forward (pointconv_util.py:2153-2172) — weights are
     (1/dist) normalized over the 3 neighbors, dist clamped at 1e-10.
     """
-    d2, idx = knn_point_dist(3, sparse_xyz, dense_xyz, method=method,
-                             recall=recall, precision=precision)  # (B, N, 3)
+    d2, idx = knn if knn is not None else knn_point_dist(
+        3, sparse_xyz, dense_xyz, method=method, recall=recall,
+        precision=precision)                                      # (B, N, 3)
     # clamp inside the sqrt (see three_nn) — sqrt(1e-20) = the reference's
     # 1e-10 dist clamp (pointconv_util.py:2166), with a finite gradient
     dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
