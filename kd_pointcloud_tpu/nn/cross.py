@@ -24,8 +24,40 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import group_points, knn_point
+from ..ops import (group_points, group_points_kmajor,
+                   group_points_kmajor_packed, knn_point)
+from ..ops.pallas.pool_fused import pool_mlp_max
 from .blocks import MLP, Dense, leaky
+
+
+def _pool_gather(u_table, idx, pool_width):
+    """k-major gather of the pool's key table, lane-packed to dense 128-lane
+    rows when the pool width allows (see group_points_kmajor_packed).
+    Returns (g, packed_p) for pool_mlp_max."""
+    S = idx.shape[1]
+    P = max(1, 128 // pool_width)
+    while S % P != 0 and P > 1:
+        P //= 2
+    if P > 1:
+        return group_points_kmajor_packed(u_table, idx, P), P
+    return group_points_kmajor(u_table, idx), 1
+
+
+def _mlp_params(mlp: MLP, width_in: int, dtype=jnp.float32):
+    """Raw (kernel, bias) stacks of an MLP module's Dense layers.
+
+    The throwaway (1, 1, C) call materializes the params under their normal
+    flax paths (mlp*/PointwiseBlock_i/Dense_0) — checkpoint layout is
+    unchanged and gradients flow to the same leaves; the dummy compute is
+    dead code XLA removes.
+    """
+    _ = mlp(jnp.zeros((1, 1, width_in), dtype))
+    p = mlp.variables["params"]
+    ws = [p[f"PointwiseBlock_{i}"]["Dense_0"]["kernel"]
+          for i in range(len(mlp.features))]
+    bs = [p[f"PointwiseBlock_{i}"]["Dense_0"]["bias"]
+          for i in range(len(mlp.features))]
+    return ws, bs
 
 # XLA row-gather cost is rows × ceil(row_bytes/512 B): two gathers that share
 # indices merge into one for free while the combined width stays ≤128 f32
@@ -79,13 +111,14 @@ def _cross_pool(nsample, xyz1, xyz2, points1, points2, pos, mlp,
     # (+bias): fold the per-key term into a table u and the per-query term
     # into v; the grouped pre-activation is just u[idx] + v[q]. This removes
     # the (B,N,K,3) neighbor-position gather, the direction subtraction, and
-    # the (B,N,K,3)→(B,N,K,D) matmul — exact same math.
+    # the (B,N,K,3)→(B,N,K,D) matmul — exact same math. The add + MLP + max
+    # run in the fused Pallas pool on TPU (pool_fused.py).
     u = points2 + pos(xyz2)                                # p2 + W·x2 + b
     # v = p1 − W·x1 (bias already carried by u): pos(0) recovers the bias
     v = points1 - pos(xyz1) + pos(jnp.zeros_like(xyz1[:, :1, :]))
-    new_points = leaky(group_points(u, knn_idx) + v[:, :, None, :])
-    new_points = mlp(new_points)
-    return jnp.max(new_points, axis=2)                     # max over K
+    ws, bs = _mlp_params(mlp, u.shape[-1], u.dtype)
+    g, P = _pool_gather(u, knn_idx, v.shape[-1])
+    return pool_mlp_max(g, v, ws, bs, packed_p=P)
 
 
 class CrossLayerLight(nn.Module):
@@ -162,14 +195,14 @@ class CrossLayerLight(nn.Module):
               + pos1(jnp.zeros_like(pc1[:, :1, :])))
         u2 = feat2_new + pos2(pc2)                     # round-2 key table
         c1 = self.mlp1[0]
-        g = group_points(jnp.concatenate([u1, u2], axis=-1), idx12)
-        feat1_new = jnp.max(mlp1(leaky(g[..., :c1] + v1[:, :, None, :])),
-                            axis=2)
+        ws1, bs1 = _mlp_params(mlp1, c1)
+        ws2, bs2 = _mlp_params(mlp2, self.mlp2[0])
+        g, P = _pool_gather(jnp.concatenate([u1, u2], axis=-1), idx12, c1)
+        feat1_new = pool_mlp_max(g, v1, ws1, bs1, co=0, packed_p=P)
         feat1_new = cross_t1(feat1_new)
         v2 = (feat1_new - pos2(pc1)
               + pos2(jnp.zeros_like(pc1[:, :1, :])))
-        feat1_final = jnp.max(mlp2(leaky(g[..., c1:] + v2[:, :, None, :])),
-                              axis=2)
+        feat1_final = pool_mlp_max(g, v2, ws2, bs2, co=c1, packed_p=P)
         return feat1_new, feat2_new, feat1_final
 
 
@@ -207,9 +240,9 @@ class CrossLayerLightFG(nn.Module):
         # linear-pos factorization (see _cross_pool): u[idx] + v[q]
         u = points2 + pos(xyz2)
         v = points1 - pos(xyz1) + pos(jnp.zeros_like(xyz1[:, :1, :]))
-        new_points = leaky(group_points(u, idx) + v[:, :, None, :])
-        new_points = mlp(new_points)
-        return jnp.max(new_points, axis=2)
+        ws, bs = _mlp_params(mlp, u.shape[-1], u.dtype)
+        g, P = _pool_gather(u, idx, v.shape[-1])
+        return pool_mlp_max(g, v, ws, bs, packed_p=P)
 
     @nn.compact
     def __call__(self, pc1, pc2, feat1, feat2, fgfeat1, fgfeat2):
@@ -248,14 +281,14 @@ class CrossLayerLightFG(nn.Module):
               + pos1(jnp.zeros_like(pc1[:, :1, :])))
         u2 = feat2_new + pos2(pc2)
         c1 = self.mlp1[0]
-        g = group_points(jnp.concatenate([u1, u2], axis=-1), idx12)
-        feat1_new = jnp.max(mlp1(leaky(g[..., :c1] + v1[:, :, None, :])),
-                            axis=2)
+        ws1, bs1 = _mlp_params(mlp1, c1)
+        ws2, bs2 = _mlp_params(mlp2, self.mlp2[0])
+        g, P = _pool_gather(jnp.concatenate([u1, u2], axis=-1), idx12, c1)
+        feat1_new = pool_mlp_max(g, v1, ws1, bs1, co=0, packed_p=P)
         feat1_new = cross_t1(feat1_new)
         v2 = (feat1_new - pos2(pc1)
               + pos2(jnp.zeros_like(pc1[:, :1, :])))
-        feat1_final = jnp.max(mlp2(leaky(g[..., c1:] + v2[:, :, None, :])),
-                              axis=2)
+        feat1_final = pool_mlp_max(g, v2, ws2, bs2, co=c1, packed_p=P)
         return feat1_new, feat2_new, feat1_final
 
 
@@ -338,16 +371,23 @@ class CrossLayerLightVote(nn.Module):
             v1 = (cross_t11(feat1) - pos1(pc1)
                   + pos1(jnp.zeros_like(pc1[:, :1, :])))
             c1 = self.mlp1[0]
-            g = group_points(
+            ws1, bs1 = _mlp_params(mlp1, c1)
+            # k-major merged gather: round-1 table ⊕ round-2 features ⊕
+            # neighbor positions (the vote needs the latter two per slot)
+            g = group_points_kmajor(
                 jnp.concatenate([u1, feat2_new, pc2], axis=-1), idx12)
-            feat1_new = jnp.max(mlp1(leaky(g[..., :c1] + v1[:, :, None, :])),
-                                axis=2)
+            feat1_new = pool_mlp_max(g, v1, ws1, bs1, co=0)
             feat1_new = cross_t1(feat1_new)
-            g2, neighbor_xyz = g[..., c1:-3], g[..., -3:]
-            direction_xyz = neighbor_xyz - pc1[:, :, None, :]
-            pre_pool = mlp2(leaky(g2 + feat1_new[:, :, None, :]
+            g2, neighbor_xyz = g[..., c1:-3], g[..., -3:]  # (B, K, N1, ·)
+            direction_xyz = neighbor_xyz - pc1[:, None, :, :]
+            pre_pool = mlp2(leaky(g2 + feat1_new[:, None, :, :]
                                   + pos2(direction_xyz)))
-            pooled = jnp.max(pre_pool, axis=2)
+            pooled = jnp.max(pre_pool, axis=1)
+            vote = Dense(1, name="vote")(pre_pool)        # (B, K, N1, 1)
+            vote = jax.nn.softmax(vote, axis=1)
+            flow = jnp.sum(vote * neighbor_xyz, axis=1) - pc1
+            feat1_final = jnp.concatenate([pooled, flow], axis=-1)
+            return feat1_new, feat2_new, feat1_final
 
         vote = Dense(1, name="vote")(pre_pool)            # (B, N1, K, 1)
         vote = jax.nn.softmax(vote, axis=2)

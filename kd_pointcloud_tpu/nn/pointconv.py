@@ -66,6 +66,40 @@ def weighted_contract(grouped, weights):
     return out.reshape(B, S, C * W)
 
 
+def contract_dense(grouped, weights, dense: Dense):
+    """weighted_contract + the following Dense, reassociated for TPU:
+
+      Dense(contract(g, w)) = Σ_{c,w'} A[c·W+w', o] · Σ_k g[..k,c]·w[..k,w']
+
+    evaluated as two einsums per part — the (B,S,K,3) rel slice and the
+    dense (B,S,K,C−3) feature slice separately (a 131-channel operand pads
+    to 256 lanes; the split keeps tiles dense) — with the (c, w') pair
+    contracted straight into the Dense kernel (einsum "bscw,cwo->bso", no
+    (B,S,C·W) reshape materialization). Measured 1.245 → 0.968 ms for the
+    l0 flow-head conv on v5e; results differ only by matmul-order rounding.
+
+    The Dense module is invoked once on a dummy row so its params keep
+    their normal flax path/shape (kernel (C·W, O) c-major + bias) —
+    checkpoints and torch imports are unchanged.
+    """
+    B, S, K, C = grouped.shape
+    W = weights.shape[-1]
+    _ = dense(jnp.zeros((1, 1, C * W), grouped.dtype))
+    kern = dense.variables["params"]["kernel"].reshape(C, W, -1)
+    bias = dense.variables["params"]["bias"]
+
+    def part(g, k3):
+        y = jnp.einsum("bskc,bskw->bscw", g, weights,
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("bscw,cwo->bso", y, k3,
+                          preferred_element_type=jnp.float32)
+
+    out = part(grouped[..., :3], kern[:3])
+    if C > 3:
+        out = out + part(grouped[..., 3:], kern[3:])
+    return (out + bias).astype(grouped.dtype)
+
+
 class PointConv(nn.Module):
     """Same-resolution PointConv. bn=True only inside flow estimators
     (pointconv_util.py:2236 creates it so); that is the model's only BN."""
@@ -85,8 +119,7 @@ class PointConv(nn.Module):
                                  self.knn_method, self.knn_recall, knn_idx,
                                  precision=self.knn_precision, rel=rel)
         w = WeightNet(self.weightnet)(rel)
-        y = weighted_contract(grouped, w)
-        y = Dense(self.out_channel)(y)
+        y = contract_dense(grouped, w, Dense(self.out_channel))
         if self.bn:
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5)(y)
@@ -113,8 +146,7 @@ class PointConvD(nn.Module):
                                  self.knn_method, self.knn_recall,
                                  precision=self.knn_precision)
         w = WeightNet(self.weightnet)(rel)
-        y = weighted_contract(grouped, w)
-        y = Dense(self.out_channel)(y)
+        y = contract_dense(grouped, w, Dense(self.out_channel))
         if self.bn:
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5)(y)
@@ -186,6 +218,5 @@ class PointConvDRand(nn.Module):
                                  self.knn_method, self.knn_recall,
                                  precision=self.knn_precision)
         w = WeightNet(self.weightnet)(rel)
-        y = weighted_contract(grouped, w)
-        y = Dense(self.out_channel)(y)
+        y = contract_dense(grouped, w, Dense(self.out_channel))
         return new_xyz, leaky(y), idx

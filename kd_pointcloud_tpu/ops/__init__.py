@@ -4,7 +4,8 @@ CUDA extension + Python neighbor-search helpers (SURVEY.md §2.2, §2.3)."""
 from .ball_query import ball_query
 from .distance import square_distance
 from .fps import furthest_point_sample
-from .gather import gather_points, group_points
+from .gather import (gather_points, group_points, group_points_kmajor,
+                     group_points_kmajor_packed)
 from .interpolate import three_interpolate, three_nn, upsample_idw
 from .knn import knn_point, knn_point_dist
 from .warp import point_warp
@@ -15,6 +16,8 @@ __all__ = [
     "furthest_point_sample",
     "gather_points",
     "group_points",
+    "group_points_kmajor",
+    "group_points_kmajor_packed",
     "three_interpolate",
     "three_nn",
     "upsample_idw",

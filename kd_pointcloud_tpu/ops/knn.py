@@ -50,19 +50,24 @@ def _fused_ok(k: int, n_queries: int, n_keys: int) -> bool:
             and n_queries % 128 == 0 and k <= 64)
 
 
-def _fused_call(k, xyz, query, precision):
+def _fused_call(k, xyz, query, precision, index_only=False):
     from .pallas.knn_fused import knn_fused
     S = query.shape[1]
     # measured optima on v5e (VPU-distance variant): tq=256 at 8192
     # queries, tq=512 at <=2048
     tq = 512 if (S <= 2048 and S % 512 == 0) else \
         (256 if S % 256 == 0 else 128)
+    # Index-only searches (knn_point: the cross/warp/self kNNs) take the
+    # float-float single-MXU-pass distance ("ff", knn_fused docstring) —
+    # same measured recall (0.987 vs 0.987 at 8192² k=32 on KITTI), 1.22 ms
+    # vs 1.55. Distance consumers (3-NN IDW) keep the exact-f32 VPU variant.
+    mode = "ff" if index_only else "vpu"
     # indices are non-differentiable and the kernel has no VJP; distances
     # are only consumed grad-free (IDW weights over raw positions) — cut
     # tangents so training's JVP never reaches the kernel
     return knn_fused(jax.lax.stop_gradient(query),
                      jax.lax.stop_gradient(xyz), k, n_groups=1024, tq=tq,
-                     precision=precision, vpu=True)
+                     precision=precision, mode=mode)
 
 
 def _use_fused(method: str, k: int, query, xyz) -> bool:
@@ -99,7 +104,7 @@ def knn_point(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
     reduce).
     """
     if _use_fused(method, k, query, xyz):
-        return _fused_call(k, xyz, query, precision)[1]
+        return _fused_call(k, xyz, query, precision, index_only=True)[1]
     return knn_point_dist(k, xyz, query, chunk=chunk, method=method,
                           recall=recall, precision=precision)[1]
 

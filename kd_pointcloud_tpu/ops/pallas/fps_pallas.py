@@ -133,7 +133,7 @@ def _fps_kernel(npoint: int, x_ref, y_ref, z_ref, idx_ref, temp_ref):
                    static_argnames=("interpret", "unroll"))
 def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
                                  *, interpret: bool = False,
-                                 unroll: int = 8) -> jnp.ndarray:
+                                 unroll: int = 32) -> jnp.ndarray:
     """(B, N, 3) → (B, npoint) int32. Single program, batch on sublanes;
     clouds with N a multiple of 1024 additionally fold each cloud over 8
     sublane rows (full VPU occupancy — ~5× faster at the l1 8192→2048

@@ -69,6 +69,33 @@ class TestKnnFused:
             np.testing.assert_array_equal(np.asarray(ia[b]),
                                           np.asarray(ib[0]))
 
+    def test_ff_recall_metric_scale(self, rng):
+        """Float-float mode must survive KITTI-scale coordinates — the case
+        that collapses a naive single-pass bf16 distance to recall 0.26
+        (models/config.py). The 3-way bf16 split keeps the dropped cross
+        terms at ~1e-4 absolute, far below real neighbor-distance gaps."""
+        q = jnp.asarray((rng.randn(1, 256, 3) * 3 +
+                         np.array([5.0, 0.0, 25.0])).astype(np.float32))
+        x = q + jnp.asarray(rng.randn(1, 256, 3).astype(np.float32)) * 0.05
+        _, ie = knn_point_dist(4, x, q, method="exact", precision="highest")
+        _, ia = knn_fused(q, x, 4, n_groups=128, tq=128, interpret=True,
+                          mode="ff")
+        assert _recall(ia, ie) > 0.95
+
+    def test_ff_distance_error_bound(self, rng):
+        """ff distances (debiased) track true d² within the documented
+        ~1e-3 absolute + mantissa-mask error."""
+        q = jnp.asarray((rng.randn(1, 128, 3) * 3 +
+                         np.array([5.0, 0.0, 25.0])).astype(np.float32))
+        x = jnp.asarray((rng.randn(1, 1024, 3) * 3 +
+                         np.array([5.0, 0.0, 25.0])).astype(np.float32))
+        d, idx = knn_fused(q, x, 4, n_groups=256, tq=128, interpret=True,
+                           mode="ff")
+        gathered = np.asarray(x)[0][np.asarray(idx)[0]]
+        true_d = ((np.asarray(q)[0][:, None, :] - gathered) ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(d)[0], true_d,
+                                   rtol=3e-2, atol=3e-3)
+
 
 class TestMortonNegativeResult:
     """Morton-window kNN: correct mechanics, insufficient recall — kept as
