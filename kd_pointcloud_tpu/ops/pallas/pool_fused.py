@@ -49,8 +49,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 # logical bytes per g block; physical cost is ~2× (double buffering) plus
-# in-kernel temporaries, against ~16 MB VMEM
-_VMEM_BLOCK_BYTES = 512 * 1024
+# in-kernel temporaries, against ~16 MB VMEM. Swept on v5e (teacher eval
+# forward): 512K 9.17 ms, 1M 9.15, 2M 9.04, 4M OOMs in the merged cross0
+# pool — 2M is the knee.
+_VMEM_BLOCK_BYTES = 2 * 1024 * 1024
 
 
 def _leaky(x):
