@@ -85,10 +85,19 @@ def _embed_keys(xyz: jnp.ndarray) -> jnp.ndarray:
 
 def _split3(x: jnp.ndarray):
     """Error-free 3-way bf16 split: x ≈ h + m + l with each part exactly
-    bf16-representable (residual ~4e-3³·|x| ≈ 1e-7 relative)."""
-    h = jnp.asarray(x, jnp.bfloat16).astype(jnp.float32)
-    m = jnp.asarray(x - h, jnp.bfloat16).astype(jnp.float32)
-    l = jnp.asarray(x - h - m, jnp.bfloat16).astype(jnp.float32)
+    bf16-representable (residual ~4e-3³·|x| ≈ 1e-7 relative).
+
+    MUST use lax.reduce_precision, not a bf16 round-trip cast: XLA's
+    algebraic simplifier elides convert_f32(convert_bf16(x)) chains when x
+    is a traced argument, turning the residuals x − h into exact zeros —
+    the split silently degenerates to plain bf16 and kNN recall collapses
+    to 0.15 on metric-scale clouds (caught by scripts/selftest_tpu.py; the
+    constant-folded path evaluates the rounding correctly, which is why
+    interpret-mode and closed-over-input tests passed). reduce_precision is
+    the semantically explicit rounding XLA cannot remove."""
+    h = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    m = jax.lax.reduce_precision(x - h, exponent_bits=8, mantissa_bits=7)
+    l = x - h - m          # rounded once at the final bf16 embedding cast
     return h, m, l
 
 

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""On-chip kernel self-test: validates every Pallas kernel against its plain
+XLA/numpy oracle ON THE REAL TPU and prints one JSON line per check.
+
+The pytest suite runs CPU-only (tests/conftest.py pins the virtual 8-device
+CPU mesh), so kernel behavior under the real Mosaic compiler — layouts,
+packed-integer ordering, DMA paths — is otherwise only exercised indirectly
+through model-level numbers. This harness makes the hardware contract
+explicit; run it after a toolchain bump or kernel change:
+
+    python scripts/selftest_tpu.py          # needs the TPU (exclusive)
+
+Checks (all on real bundled KITTI geometry, not synthetic gaussians):
+  fps_exact        Pallas FPS indices == XLA fori_loop oracle, bit-exact
+                   (sampling_gpu.cu:93-209 semantics: seed 0, first-index
+                   tie-break)
+  knn_ff_recall    float-float fused kNN recall vs exact top-k >= 0.98
+                   (8192², k=32, metric-scale coordinates)
+  knn_vpu_recall   exact-f32 VPU-distance variant recall >= 0.98
+  knn_dist_error   fused-kernel distances track true d² (mantissa-mask
+                   tolerance) for the IDW consumers
+  pool_parity      fused lane-packed cross-pool == plain XLA formulation
+                   (merged two-round gather, both channel offsets)
+  gather_clip      mode="clip" row gather == numpy fancy indexing
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def _scene_pair(n=8192):
+    from kd_pointcloud_tpu.data import KITTI, ProcessData
+    ds = KITTI(train=False, transform=ProcessData(num_points=n))
+    pc1, pc2, *_ = ds[0]
+    return pc1, pc2
+
+
+def _recall(idx_a, idx_e):
+    idx_a, idx_e = np.asarray(idx_a), np.asarray(idx_e)
+    hits = sum(len(set(idx_a[s].tolist()) & set(idx_e[s].tolist()))
+               for s in range(0, idx_e.shape[0], 7))
+    return hits / (len(range(0, idx_e.shape[0], 7)) * idx_e.shape[1])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from kd_pointcloud_tpu.ops import group_points
+    from kd_pointcloud_tpu.ops.fps import (_furthest_point_sample_xla,
+                                           furthest_point_sample)
+    from kd_pointcloud_tpu.ops.pallas.knn_fused import knn_fused
+    from kd_pointcloud_tpu.ops.pallas.pool_fused import (_pool_ref,
+                                                         pool_mlp_max)
+    from kd_pointcloud_tpu.ops.gather import group_points_kmajor_packed
+
+    results = {}
+    ok = True
+
+    pc1, pc2 = _scene_pair()
+    q = jnp.asarray(pc1[None])
+    kk = jnp.asarray(pc2[None])
+
+    # ---- FPS: bit-exact vs the XLA oracle
+    x2 = jnp.concatenate([q, kk], axis=0)
+    idx_p = np.asarray(furthest_point_sample(x2, 2048, backend="pallas"))
+    idx_x = np.asarray(_furthest_point_sample_xla(x2, 2048))
+    results["fps_exact"] = bool((idx_p == idx_x).all())
+
+    # ---- kNN: both production variants vs exact
+    d_exact = ((np.asarray(q)[0][:, None, :]
+                - np.asarray(kk)[0][None, :, :]) ** 2).sum(-1)
+    idx_e = np.argsort(d_exact, axis=1)[:, :32]
+    _, idx_ff = knn_fused(q, kk, 32, mode="ff")
+    _, idx_vpu = knn_fused(q, kk, 32, mode="vpu")
+    results["knn_ff_recall"] = round(_recall(np.asarray(idx_ff)[0], idx_e), 4)
+    results["knn_vpu_recall"] = round(_recall(np.asarray(idx_vpu)[0], idx_e),
+                                      4)
+
+    # ---- kNN distances (VPU variant feeds IDW): mantissa-mask tolerance
+    d3, i3 = knn_fused(q, kk, 3, mode="vpu")
+    gathered = np.asarray(kk)[0][np.asarray(i3)[0]]
+    true_d = ((np.asarray(q)[0][:, None, :] - gathered) ** 2).sum(-1)
+    err = np.max(np.abs(np.asarray(d3)[0] - true_d)
+                 / np.maximum(true_d, 1e-6))
+    results["knn_dist_rel_err"] = round(float(err), 5)
+
+    # ---- pool kernel: packed fast path vs plain XLA formulation
+    rng = np.random.RandomState(0)
+    C, K, Cg = 32, 32, 64
+    u = jnp.asarray(rng.randn(1, 8192, Cg).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 8192, C).astype(np.float32))
+    idx = jnp.asarray(np.asarray(idx_ff))
+    ws = tuple(jnp.asarray(rng.randn(C, C).astype(np.float32)) * 0.2
+               for _ in range(2))
+    bs = tuple(jnp.asarray(rng.randn(C).astype(np.float32)) * 0.2
+               for _ in range(2))
+    P = 128 // C
+    gp = group_points_kmajor_packed(u, idx, P)
+    pool_errs = []
+    for co in (0, C):
+        out = pool_mlp_max(gp, v, ws, bs, co=co, packed_p=P)
+        gq = jnp.swapaxes(group_points(u, idx), 1, 2)       # (B, K, N, Cg)
+        ref = _pool_ref(gq, v, ws, bs, co)
+        pool_errs.append(float(jnp.max(jnp.abs(out - ref))))
+    results["pool_max_abs_err"] = round(max(pool_errs), 6)
+
+    # ---- gather clip semantics
+    g = np.asarray(group_points(u, idx))
+    ref = np.asarray(u)[0][np.asarray(idx)[0]]
+    results["gather_exact"] = bool(np.array_equal(g[0], ref))
+
+    ok = (results["fps_exact"] and results["gather_exact"]
+          and results["knn_ff_recall"] >= 0.98
+          and results["knn_vpu_recall"] >= 0.98
+          and results["knn_dist_rel_err"] < 3e-3
+          and results["pool_max_abs_err"] < 1e-4)
+    results["ok"] = ok
+    print(json.dumps(results))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

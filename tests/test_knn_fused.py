@@ -82,6 +82,27 @@ class TestKnnFused:
                           mode="ff")
         assert _recall(ia, ie) > 0.95
 
+    def test_ff_split_survives_jit_args(self, rng):
+        """The 3-way bf16 split must hold under jit WITH TRACED ARGUMENTS:
+        XLA's simplifier elides f32→bf16→f32 convert round-trips on traced
+        values, zeroing the residual parts (recall collapsed to 0.15 on
+        hardware before _split3 switched to lax.reduce_precision). Guards
+        the exact failure mode: mid parts must be nonzero and the three
+        parts must reconstruct x to ~1e-7 relative."""
+        from kd_pointcloud_tpu.ops.pallas.knn_fused import _split3
+
+        x = jnp.asarray((rng.randn(64) * 20 + 5).astype(np.float32))
+        h, m, l = jax.jit(_split3)(x)          # args traced, NOT constants
+        assert np.any(np.asarray(m) != 0), \
+            "mid split parts all zero — convert chain was elided"
+        recon = np.asarray(h) + np.asarray(m) + np.asarray(l)
+        np.testing.assert_allclose(recon, np.asarray(x), rtol=1e-7)
+        # each part must be exactly bf16-representable
+        for part in (h, m):
+            p = np.asarray(part)
+            np.testing.assert_array_equal(
+                p, np.asarray(jnp.asarray(p, jnp.bfloat16).astype(jnp.float32)))
+
     def test_ff_distance_error_bound(self, rng):
         """ff distances (debiased) track true d² within the documented
         ~1e-3 absolute + mantissa-mask error."""
