@@ -115,10 +115,28 @@ def _intrinsics_for(paths) -> np.ndarray:
 
 def evaluate_model(model, variables, loader, logger=None,
                    with_2d: bool = True, metric_workers: int = 2,
-                   device_metrics: bool = True) -> Dict[str, float]:
-    """Returns the 6 reference metrics + mean multiScaleLoss."""
+                   device_metrics: bool = True, mesh=None) -> Dict[str, float]:
+    """Returns the 6 reference metrics + mean multiScaleLoss.
+
+    mesh: optional jax Mesh with a "data" axis — the sweep then runs
+    data-parallel: batches sharded over the mesh, params replicated, the
+    same jitted metrics step executing SPMD (metric rows are per-sample, so
+    no cross-device reduction is needed; the host mean handles pad masking
+    as in the single-device path). Requires loader batch_size % mesh size
+    == 0 with pad_last=True. Beyond reference parity — its DataParallel
+    covers training only (train_bid_pointconv.py:108-114)."""
     if device_metrics:
         from ..data.loader import PAD_PATH
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            bsh = NamedSharding(mesh, PartitionSpec("data"))
+            variables = jax.device_put(
+                variables, NamedSharding(mesh, PartitionSpec()))
+            put = lambda x: jax.device_put(jnp.asarray(x), bsh)  # noqa: E731
+        else:
+            put = jnp.asarray
 
         step = make_eval_metrics_step(model, with_2d=with_2d)
         per_sample: List[jnp.ndarray] = []
@@ -128,9 +146,9 @@ def evaluate_model(model, variables, loader, logger=None,
             intr = _intrinsics_for(paths) if with_2d else \
                 np.zeros((pos1.shape[0], 6), np.float32)
             per_sample.append(step(
-                variables, jnp.asarray(pos1), jnp.asarray(pos2),
-                jnp.asarray(norm1), jnp.asarray(norm2), jnp.asarray(flow),
-                jnp.asarray(intr)))
+                variables, put(pos1), put(pos2),
+                put(norm1), put(norm2), put(flow),
+                put(intr)))
             masks.append(np.asarray([p != PAD_PATH for p in paths],
                                     np.float32))
         stacked = np.asarray(jnp.concatenate(per_sample, axis=0))  # one sync

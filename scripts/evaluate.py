@@ -50,6 +50,17 @@ if __name__ == "__main__":
                          "batch_stats": restored.get("batch_stats", {})}
         logger.info("loaded %s", path)
 
-    results = evaluate_model(model, variables, loader, logger=logger)
+    mesh = None
+    if args.get("data_parallel"):
+        from kd_pointcloud_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        if args.batch_size % mesh.devices.size != 0:
+            logger.info("batch_size %d not divisible by %d devices — "
+                        "running single-device", args.batch_size,
+                        mesh.devices.size)
+            mesh = None
+
+    results = evaluate_model(model, variables, loader, logger=logger,
+                             mesh=mesh)
     for k, v in results.items():
         print(f"{k}: {v:.4f}")

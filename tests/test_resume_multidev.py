@@ -213,6 +213,28 @@ class TestMultiDevice:
         mesh, sharding = data_parallel_sharding(8)
         assert sharding is not None
 
+    def test_sharded_eval_matches_single(self, rng):
+        """evaluate_model over an 8-way mesh reproduces the single-device
+        sweep (per-sample metric rows, params replicated, pad masking)."""
+        from kd_pointcloud_tpu.eval.runner import evaluate_model
+
+        model = BidPointFlowNet(tiny_config("teacher"))
+        batch = _batch(rng, b=8)
+        variables = _init(model, batch)
+
+        def fake_loader():
+            np_b = [np.asarray(batch[k]) for k in
+                    ("pos1", "pos2", "norm1", "norm2", "flow")]
+            paths = [f"scene{i}" for i in range(8)]
+            yield (*np_b, paths)
+
+        single = evaluate_model(model, variables, fake_loader(),
+                                with_2d=False)
+        sharded = evaluate_model(model, variables, fake_loader(),
+                                 with_2d=False, mesh=make_mesh())
+        for k in single:
+            assert single[k] == pytest.approx(sharded[k], rel=2e-4), k
+
 
 # ---------------------------------------------------------------- loader
 
