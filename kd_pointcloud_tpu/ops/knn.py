@@ -51,23 +51,31 @@ def _fused_ok(k: int, n_queries: int, n_keys: int) -> bool:
 
 
 def _fused_call(k, xyz, query, precision, index_only=False):
+    from .gather import group_points
     from .pallas.knn_fused import knn_fused
     S = query.shape[1]
-    # measured optima on v5e (VPU-distance variant): tq=256 at 8192
-    # queries, tq=512 at <=2048
+    # measured optima on v5e: tq=256 at 8192 queries, tq=512 at <=2048
     tq = 512 if (S <= 2048 and S % 512 == 0) else \
         (256 if S % 256 == 0 else 128)
-    # Index-only searches (knn_point: the cross/warp/self kNNs) take the
-    # float-float single-MXU-pass distance ("ff", knn_fused docstring) —
-    # same measured recall (0.987 vs 0.987 at 8192² k=32 on KITTI), 1.22 ms
-    # vs 1.55. Distance consumers (3-NN IDW) keep the exact-f32 VPU variant.
-    mode = "ff" if index_only else "vpu"
-    # indices are non-differentiable and the kernel has no VJP; distances
-    # are only consumed grad-free (IDW weights over raw positions) — cut
-    # tangents so training's JVP never reaches the kernel
-    return knn_fused(jax.lax.stop_gradient(query),
-                     jax.lax.stop_gradient(xyz), k, n_groups=1024, tq=tq,
-                     precision=precision, mode=mode)
+    # All fused searches select with the float-float single-MXU-pass
+    # distance ("ff", knn_fused docstring) — same measured recall as the
+    # exact-f32 VPU variant (0.987 at 8192² k=32 on KITTI), 1.22 ms vs
+    # 1.55. Indices are non-differentiable and the kernel has no VJP — cut
+    # tangents so training's JVP never reaches it.
+    d_sel, idx = knn_fused(jax.lax.stop_gradient(query),
+                           jax.lax.stop_gradient(xyz), k, n_groups=1024,
+                           tq=tq, precision=precision, mode="ff")
+    if index_only:
+        return d_sel, idx
+    # Distance consumers (3-NN IDW weights) get EXACT d² recomputed from
+    # the gathered coordinates — like the reference's warp
+    # (pointconv_util.py:2131-2133) and with the gradient flowing through
+    # the positions, not the selection. This replaces the kernel's
+    # masked-mantissa distances on the production path entirely (the VPU
+    # variant remains for comparison/selftest).
+    nbr = group_points(xyz, idx)                    # (B, S, k, 3)
+    d2 = jnp.sum((query[:, :, None, :] - nbr) ** 2, axis=-1)
+    return d2, idx
 
 
 def _use_fused(method: str, k: int, query, xyz) -> bool:
@@ -116,12 +124,11 @@ def knn_point_dist(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
                    recall: float = DEFAULT_RECALL, precision: str = "highest"):
     """Like knn_point but also returns the squared distances (B, S, k).
 
-    The fused-kernel path's distances carry the packed-index mantissa mask
-    (<=1e-3 relative; knn_fused docstring) and are NOT differentiable —
-    fine for every distance consumer here (3-NN IDW weights over raw level
-    positions); callers differentiating through distances (point_warp)
-    recompute them from gathered coordinates instead, as the reference does
-    (pointconv_util.py:2131-2133).
+    Fused-path distances are EXACT f32, recomputed from the gathered
+    neighbor coordinates after the approximate selection (the kernel's own
+    masked-mantissa values are used for selection only), with gradients
+    flowing through the positions — matching the reference's recompute
+    pattern (pointconv_util.py:2131-2133).
     """
     if _use_fused(method, k, query, xyz):
         return _fused_call(k, xyz, query, precision)
