@@ -13,6 +13,14 @@ item 6), channels-last. Argument conventions:
 `flow_loss_ht` is broken in the reference (undefined `fps_idxs`/`loss1`,
 loss_functions.py:98-120); here it is implemented with the evident intent
 (pure flow-matching vs teacher + hints) and documented as a deliberate fix.
+
+att_iter/att_ht ratio indexing: the reference permutes its stacked
+distil-ratio tensor to (iters, layers, B) but indexes it [layer][iter]
+(loss_functions.py:144-153) — a silent layer↔iter transposition whenever
+the counts coincide (an IndexError otherwise). `_distil_ratios` here
+returns per-layer (B, iters) matrices indexed per the evident intent;
+tests/test_kd_loss_parity.py pins numeric parity for every runnable
+reference loss, replicating the transposition where it exists.
 """
 
 from __future__ import annotations
@@ -153,13 +161,16 @@ def att_ht_loss(outputs, c_feat1s, c_feat2s, fps_idxs1, gt_flow, t_outputs,
     for i, layer in enumerate(layers):
         for it in range(len(t_outputs[layer])):
             r = ratios[i][:, it]
+            # reference norms over the POINT axis then sums channels
+            # (loss_functions.py:188-193: feats are (B, C, N), norm dim=2,
+            # sum dim=1) — axis=1 here in channels-last
             d1 = jnp.sum(safe_norm(
-                ((c_feat1s[layer] - t_c_feat1s[layer][it]) ** 2) / 2),
-                axis=1)                                   # (B,)
+                ((c_feat1s[layer] - t_c_feat1s[layer][it]) ** 2) / 2,
+                axis=1), axis=-1)                         # (B,)
             src_ht += alpha[layer] * jnp.sum(r * d1)
             d2 = jnp.sum(safe_norm(
-                ((c_feat2s[layer] - t_c_feat2s[layer][it]) ** 2) / 2),
-                axis=1)
+                ((c_feat2s[layer] - t_c_feat2s[layer][it]) ** 2) / 2,
+                axis=1), axis=-1)
             tgt_ht += alpha[layer] * jnp.sum(r * d2)
     loss2 = 0.5 * (src_ht + tgt_ht)
     return gamma * loss1 + (1 - gamma) * loss2

@@ -79,8 +79,12 @@ def _fused_call(k, xyz, query, precision, index_only=False):
 
 
 def _use_fused(method: str, k: int, query, xyz) -> bool:
-    # this image's TPU registers as platform "axon" (remote v5e tunnel)
+    # this image's TPU registers as platform "axon" (remote v5e tunnel).
+    # The kernel's embeddings are built for 3-D COORDINATES — the FG
+    # family's feature-space kNN (nn/cross.py _fg_idx_bid: 100+-dim
+    # "positions") must take the approx_min_k path.
     return (method == "approx" and jax.default_backend() in ("tpu", "axon")
+            and query.shape[-1] == 3 and xyz.shape[-1] == 3
             and _fused_ok(k, query.shape[1], xyz.shape[1]))
 
 

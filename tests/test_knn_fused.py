@@ -118,6 +118,23 @@ class TestKnnFused:
                                    rtol=3e-2, atol=3e-3)
 
 
+class TestFusedRouting:
+    def test_feature_space_queries_never_fuse(self, monkeypatch):
+        """The FG family's feature-space kNN searches with 100+-dim
+        'positions' (nn/cross.py _fg_idx_bid); the fused kernel's
+        embeddings are built for 3-D coordinates and reshape-crash on
+        anything else (caught on hardware: bifeat/fg forwards died once
+        the fused path became the TPU default). The router must gate on
+        the coordinate dimension, not just sizes."""
+        from kd_pointcloud_tpu.ops import knn as knn_mod
+
+        monkeypatch.setattr(knn_mod.jax, "default_backend", lambda: "tpu")
+        coords = jnp.zeros((1, 2048, 3))
+        feats = jnp.zeros((1, 2048, 494))
+        assert knn_mod._use_fused("approx", 16, coords, coords)
+        assert not knn_mod._use_fused("approx", 16, feats, feats)
+
+
 class TestMortonNegativeResult:
     """Morton-window kNN: correct mechanics, insufficient recall — kept as
     an op + documentation, NOT wired into production (see ops/morton.py)."""
