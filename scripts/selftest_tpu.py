@@ -121,6 +121,27 @@ def main():
           and results["knn_vpu_recall"] >= 0.98
           and results["knn_dist_rel_err"] < 3e-3
           and results["pool_max_abs_err"] < 1e-4)
+
+    # ---- optional: every ModelConfig preset's forward on the real chip
+    # (~8 min of compiles; caught the FG feature-space-kNN routing crash
+    # that the CPU suite structurally cannot see)
+    if "--presets" in sys.argv:
+        from kd_pointcloud_tpu.models import PRESETS, BidPointFlowNet
+        for name in PRESETS:
+            try:
+                m = BidPointFlowNet(PRESETS[name])
+                v = jax.jit(lambda k, mm=m: mm.init(
+                    k, q, kk, q, kk, train=False))(jax.random.PRNGKey(0))
+                out = jax.jit(lambda vv, mm=m: mm.apply(
+                    vv, q, kk, q, kk, train=False)["flows"])(v)
+                f0 = out[0][-1] if isinstance(out[0], list) else out[0]
+                fin = bool(np.isfinite(float(jnp.sum(f0))))
+                results[f"preset_{name}"] = "ok" if fin else "NONFINITE"
+                ok = ok and fin
+            except Exception as e:  # pragma: no cover - hardware harness
+                results[f"preset_{name}"] = f"FAIL: {str(e)[:80]}"
+                ok = False
+
     results["ok"] = ok
     print(json.dumps(results))
     return 0 if ok else 1
