@@ -46,14 +46,24 @@ def multi_scale_loss_per_sample(pred_flows, gt_flow, fps_idxs,
                                 alpha: Sequence[float] = ALPHA) -> jnp.ndarray:
     """Per-sample (B,) variant of multi_scale_loss — the batch mean of this is
     exactly the reference loss; eval loops use it to weight uneven/padded
-    final batches correctly."""
+    final batches correctly.
+
+    Iterative-teacher entries (a level's flows as a per-iteration LIST,
+    models_bifeat.py:217) each score fully against that level's gt with
+    that level's alpha — the reference's bifeat-local multiScaleLoss
+    expresses the same by flattening the list and interleaving None into
+    the fps chain (models_bifeat.py:231-256)."""
     num_scale = len(pred_flows)
     offset = len(fps_idxs) - num_scale + 1
     gt_flows = downsample_gt(gt_flow, fps_idxs)
 
-    total = jnp.zeros((pred_flows[0].shape[0],), jnp.float32)
+    first = pred_flows[0]
+    first = first[0] if isinstance(first, (list, tuple)) else first
+    total = jnp.zeros((first.shape[0],), jnp.float32)
     for i in range(num_scale):
-        diff = pred_flows[i] - gt_flows[i + offset]
-        l2 = safe_norm(diff)                          # (B, N)
-        total += alpha[i] * jnp.sum(l2, axis=1)
+        entry = pred_flows[i]
+        flows_i = entry if isinstance(entry, (list, tuple)) else [entry]
+        for f in flows_i:
+            l2 = safe_norm(f - gt_flows[i + offset])      # (B, N)
+            total += alpha[i] * jnp.sum(l2, axis=1)
     return total

@@ -217,6 +217,32 @@ class TestKDLossParity:
             jx["t_feats"], (0.2, 0.5, 0.3), 0.8, layer=3)
         _close(got, want)
 
+    def test_multiscale_iterative(self, ref, data, rng):
+        """Iterative-teacher supervision: the bifeat model file ships its own
+        multiScaleLoss taking FLATTENED per-iteration flows with None
+        interleaved in the fps chain (models_bifeat.py:231-256); our nested
+        per-iteration lists must score identically."""
+        sys.path.insert(0, "/root/reference")
+        import importlib
+        import models_bifeat
+        tt, jx = data["tt"], data["jx"]
+        it2 = [rng.randn(B, 3, n).astype(np.float32) for n in SIZES[:3]]
+        # reference: flattened [l0i0, l0i1, l1i0, l1i1, l2i0, l2i1, l3] with
+        # fps chain [None, f0, None, f1, None, f2]
+        flat_t = []
+        fps_t = []
+        for lvl in range(3):
+            flat_t += [tt["flows"][lvl],
+                       torch.from_numpy(it2[lvl])]
+            fps_t += [None, tt["fps1"][lvl]]
+        flat_t.append(tt["flows"][3])
+        want = models_bifeat.multiScaleLoss(flat_t, tt["gt"], fps_t)
+        nested_j = [[jx["flows"][lvl],
+                     jnp.asarray(it2[lvl].transpose(0, 2, 1))]
+                    for lvl in range(3)] + [jx["flows"][3]]
+        got = losses.multi_scale_loss(nested_j, jx["gt"], jx["fps1"])
+        _close(got, want)
+
     def test_att_ht(self, ref, data):
         """Attentive feature-hint loss: the reference norms the hint over
         the POINT axis then sums channels (loss_functions.py:188-193) —
