@@ -17,7 +17,6 @@ weight their metric averages by it instead of silently truncating
 from __future__ import annotations
 
 import multiprocessing as mp
-import os
 import queue
 import threading
 from collections import deque

@@ -13,7 +13,6 @@ callers (datasets.py) work either way.
 from __future__ import annotations
 
 import ctypes
-import os
 import os.path as osp
 import subprocess
 from typing import List, Optional, Sequence, Tuple

@@ -9,7 +9,6 @@ Linear maps mix the F axis only, keeping equivariance.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .blocks import torch_kernel_init

@@ -36,8 +36,6 @@ def compute_teacher_history(t_model, t_variables, loader, max_batches=None):
     """Pre-pass of the frozen teacher over the train set collecting its
     multiScaleLoss per batch (distilTrain.py:142, feeds
     attentiveImitationLoss's min/max normalization)."""
-    import jax.numpy as jnp
-
     from ..losses import multi_scale_loss
     from .loop import batch_to_device
 

@@ -8,7 +8,7 @@ the CLI scripts are thin wrappers.
 from __future__ import annotations
 
 import os.path as osp
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np
@@ -17,7 +17,7 @@ from ..data import DATASETS, Augmentation, DataLoader, ProcessData
 from ..models import PRESETS, BidPointFlowNet
 from ..parallel import data_parallel_sharding, replicate
 from ..utils import Config, blue, make_experiment_dir, make_logger
-from .checkpoints import (full_state_tree, load_checkpoint,
+from .checkpoints import (full_state_tree,
                           restore_train_state, save_checkpoint)
 from .loop import batch_to_device, eval_sceneflow, make_eval_step, make_train_step
 from .state import TrainState, lr_for_epoch, make_optimizer, set_learning_rate

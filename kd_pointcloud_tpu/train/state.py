@@ -10,7 +10,7 @@ epoch from the host, like the reference's per-epoch param_group update.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax.numpy as jnp
