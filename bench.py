@@ -32,6 +32,13 @@ import numpy as np
 
 BASELINE_PAIRS_PER_S = 25.6  # 39 ms/pair, Bi-PointFlowNet ECCV'22 runtime
 V5E_PEAK_F32_FLOPS = 49.2e12  # per chip (bf16 197 TFLOP/s ÷ 4 HIGHEST passes≈)
+# Model FLOPs per pair on the reference's own accounting basis: thop reports
+# 13.1 GMAC/pair for the teacher (BASELINE.md, 연구노트 11차 table) = 26.2 GFLOP.
+# This is the comparable numerator for MFU; the XLA cost_analysis number also
+# emitted below additionally counts the 6-pass HIGHEST-precision distance
+# matmuls and is therefore NOT comparable across implementations.
+MODEL_FLOPS_PER_PAIR = 13.1e9 * 2
+PROTOCOL = "50-dispatch amortized, single sync (remote-tunnel RPC ~30ms/call)"
 
 
 def main():
@@ -112,27 +119,33 @@ def main():
             "unit": "steps/sec",
             "vs_baseline": None,   # the reference publishes no train timing
             "pairs_per_sec": round(bs / step_dt, 2),
+            "protocol": "15-dispatch amortized, single sync",
         }
     except Exception as e:  # pragma: no cover - train bench is best-effort
         train_line = {"metric": "teacher_train_step_bs3", "error": str(e)[:200]}
 
     if train_line is not None:
         print(json.dumps(train_line))
-    if flops_per_pair:
-        mfu = flops_per_pair * pairs_per_s / V5E_PEAK_F32_FLOPS
-        print(json.dumps({
-            "metric": "teacher_eval_mfu",
-            "value": round(mfu, 4),
-            "unit": "fraction_of_v5e_f32_peak",
-            "vs_baseline": None,
-            "flops_per_pair": flops_per_pair,
-        }))
+    print(json.dumps({
+        "metric": "teacher_eval_mfu",
+        "value": round(MODEL_FLOPS_PER_PAIR * pairs_per_s / V5E_PEAK_F32_FLOPS, 4),
+        "unit": "fraction_of_v5e_f32_peak",
+        "vs_baseline": None,
+        "flops_basis": "model (thop-comparable, 13.1 GMAC/pair)",
+        "flops_per_pair": MODEL_FLOPS_PER_PAIR,
+        "xla_cost_analysis_mfu": (
+            round(flops_per_pair * pairs_per_s / V5E_PEAK_F32_FLOPS, 4)
+            if flops_per_pair else None),
+        "xla_cost_analysis_flops_per_pair": flops_per_pair,
+        "protocol": PROTOCOL,
+    }))
 
     print(json.dumps({
         "metric": "teacher_eval_throughput_8192pts_bs1",
         "value": round(pairs_per_s, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 2),
+        "protocol": PROTOCOL,
     }))
 
 

@@ -128,6 +128,20 @@ def evaluate_model(model, variables, loader, logger=None,
     if device_metrics:
         from ..data.loader import PAD_PATH
 
+        if mesh is not None and (
+                getattr(loader, "batch_size", 0) % mesh.size != 0
+                or not getattr(loader, "pad_last", False)):
+            # A non-divisible (or dynamically short) batch would raise an
+            # opaque sharding error deep inside jit — fall back instead
+            # (advisor round-2 finding).
+            if logger is not None:
+                logger.info(
+                    "evaluate_model: loader batch_size=%s incompatible with "
+                    "%d-device mesh (needs batch_size %% mesh.size == 0 and "
+                    "pad_last=True); falling back to single-device",
+                    getattr(loader, "batch_size", None), mesh.size)
+            mesh = None
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 

@@ -11,6 +11,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# Debug safety net (advisor round-2 finding): mode="clip" on the hot path
+# silently clamps any future invalid index to the last row. The CPU test
+# suite (tests/conftest.py) flips this to True so out-of-bounds indices
+# gather NaN fill values and surface as non-finite outputs in tests, where
+# the extra full-tensor select costs nothing that matters.
+DEBUG_OOB_FILL = False
+
 
 def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather per-point rows: (B, N, C) × (B, S) → (B, S, C).
@@ -21,10 +28,12 @@ def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     select over the WHOLE gathered tensor, which is free only while XLA can
     fuse it into an elementwise consumer — feeding a Pallas kernel it
     becomes its own full-size HBM pass (2×408 µs/forward at cross0,
-    profiled). Indices here are valid by construction (kNN/FPS outputs).
+    profiled). Indices here are valid by construction (kNN/FPS outputs);
+    DEBUG_OOB_FILL restores a detectable fill value in the test suite.
     """
+    mode = "fill" if DEBUG_OOB_FILL else "clip"
     return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32),
-                               axis=1, mode="clip")
+                               axis=1, mode=mode)
 
 
 def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -11,9 +11,11 @@ explicit; run it after a toolchain bump or kernel change:
     python scripts/selftest_tpu.py          # needs the TPU (exclusive)
 
 Checks (all on real bundled KITTI geometry, not synthetic gaussians):
-  fps_exact        Pallas FPS indices == XLA fori_loop oracle, bit-exact
+  fps_exact        Pallas FPS indices == host-side numpy oracle, bit-exact
                    (sampling_gpu.cu:93-209 semantics: seed 0, first-index
-                   tie-break)
+                   tie-break). The numpy oracle is independent of the XLA
+                   path, which itself miscompiles at some shapes on v5e
+                   (ops/fps.py:39-42) and so cannot serve as the referee.
   knn_ff_recall    float-float fused kNN recall vs exact top-k >= 0.98
                    (8192², k=32, metric-scale coordinates)
   knn_vpu_recall   exact-f32 VPU-distance variant recall >= 0.98
@@ -53,8 +55,7 @@ def main():
     import jax.numpy as jnp
 
     from kd_pointcloud_tpu.ops import group_points
-    from kd_pointcloud_tpu.ops.fps import (_furthest_point_sample_xla,
-                                           furthest_point_sample)
+    from kd_pointcloud_tpu.ops.fps import furthest_point_sample
     from kd_pointcloud_tpu.ops.pallas.knn_fused import knn_fused
     from kd_pointcloud_tpu.ops.pallas.pool_fused import (_pool_ref,
                                                          pool_mlp_max)
@@ -67,11 +68,26 @@ def main():
     q = jnp.asarray(pc1[None])
     kk = jnp.asarray(pc2[None])
 
-    # ---- FPS: bit-exact vs the XLA oracle
+    # ---- FPS: bit-exact vs a host-side numpy oracle (NOT the XLA path,
+    # which is itself the known-miscompiling variant at some shapes —
+    # ops/fps.py:39-42; advisor round-2 finding).
+    def np_fps(xyz, m):
+        B, N, _ = xyz.shape
+        out = np.zeros((B, m), dtype=np.int64)
+        for b in range(B):
+            temp = np.full(N, 1e10, dtype=np.float32)
+            last = 0
+            for j in range(1, m):
+                d = ((xyz[b] - xyz[b, last]) ** 2).sum(-1)
+                temp = np.minimum(temp, d)
+                last = int(np.argmax(temp))
+                out[b, j] = last
+        return out
+
     x2 = jnp.concatenate([q, kk], axis=0)
     idx_p = np.asarray(furthest_point_sample(x2, 2048, backend="pallas"))
-    idx_x = np.asarray(_furthest_point_sample_xla(x2, 2048))
-    results["fps_exact"] = bool((idx_p == idx_x).all())
+    idx_np = np_fps(np.asarray(x2, dtype=np.float32), 2048)
+    results["fps_exact"] = bool((idx_p == idx_np).all())
 
     # ---- kNN: both production variants vs exact
     d_exact = ((np.asarray(q)[0][:, None, :]

@@ -28,6 +28,14 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_kdpc")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+# Debug safety net: production gathers clamp out-of-bounds indices
+# (mode="clip", ops/gather.py). In the suite, use NaN fill instead so an
+# invalid-index bug surfaces as non-finite outputs rather than silently
+# clamping to the last row.
+from kd_pointcloud_tpu.ops import gather as _gather  # noqa: E402
+
+_gather.DEBUG_OOB_FILL = True
+
 
 @pytest.fixture
 def rng():

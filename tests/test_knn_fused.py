@@ -10,8 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from attic.morton import knn_block_dist, morton_codes
 from kd_pointcloud_tpu.ops.knn import knn_point_dist
-from kd_pointcloud_tpu.ops.morton import knn_block_dist, morton_codes
 from kd_pointcloud_tpu.ops.pallas.knn_fused import knn_fused
 
 
@@ -137,7 +137,7 @@ class TestFusedRouting:
 
 class TestMortonNegativeResult:
     """Morton-window kNN: correct mechanics, insufficient recall — kept as
-    an op + documentation, NOT wired into production (see ops/morton.py)."""
+    documentation of a negative result, NOT production (see attic/morton.py)."""
 
     def test_codes_monotone_on_axis(self):
         xyz = jnp.asarray(
