@@ -148,6 +148,38 @@ def main():
         "protocol": PROTOCOL,
     }))
 
+    # ---- serving preset (models/config.py "serving": flow_nei 16, same
+    # param tree as teacher — any teacher checkpoint serves unchanged). Its
+    # six-metric deltas vs the exact path are measured on bundled KITTI by
+    # scripts/selftest_tpu.py --metrics and must stay under the same
+    # thresholds as the production path; this line is the serving-latency
+    # headline.
+    try:
+        s_model = BidPointFlowNet(PRESETS["serving"])
+        s_fwd = jax.jit(lambda v, a, b, c, d:
+                        s_model.apply(v, a, b, c, d,
+                                      train=False)["flows"][0])
+        float(jnp.sum(s_fwd(variables, *batches[0])))
+        t0 = time.time()
+        out = None
+        for i in range(N):
+            out = s_fwd(variables, *batches[i % len(batches)])
+        float(jnp.sum(out))
+        s_pairs = N / (time.time() - t0)
+        print(json.dumps({
+            "metric": "serving_eval_throughput_8192pts_bs1",
+            "value": round(s_pairs, 2),
+            "unit": "pairs/sec/chip",
+            "vs_baseline": round(s_pairs / BASELINE_PAIRS_PER_S, 2),
+            "config": "serving preset (cost-volume K=16; teacher params)",
+            "metric_deltas": "selftest_tpu --metrics records six-metric "
+                             "deltas vs exact on bundled KITTI",
+            "protocol": PROTOCOL,
+        }))
+    except Exception as e:  # pragma: no cover
+        print(json.dumps({"metric": "serving_eval_throughput_8192pts_bs1",
+                          "error": str(e)[:200]}))
+
 
 if __name__ == "__main__":
     main()

@@ -146,16 +146,25 @@ class BidPointFlowNet(nn.Module):
                 f0 = level0_pc(pc0, f0, train=train)
                 f0_1 = level0_2(f0)
 
+            # levels 2-4 sample by PREFIX: pc1_ is in FPS-selection order,
+            # and greedy FPS orderings are nested (nn/pointconv.py
+            # _fps_or_prefix), so slicing its first npoints reproduces the
+            # reference's per-level FPS chains exactly while skipping their
+            # serial iterations (832 of 2880 rounds) and index gathers
+            nested = cfg.nested_fps
             pc1_, f1, idx1 = level1(pc0, f0_1, train=train)
             f1 = level1_0(f1)
             f1_2 = level1_1(f1)
-            pc2_, f2, idx2 = level2(pc1_, f1_2, train=train)
+            pc2_, f2, idx2 = level2(pc1_, f1_2, train=train,
+                                    prefix_sample=nested)
             f2 = level2_0(f2)
             f2_3 = level2_1(f2)
-            pc3_, f3, idx3 = level3(pc2_, f2_3, train=train)
+            pc3_, f3, idx3 = level3(pc2_, f2_3, train=train,
+                                    prefix_sample=nested)
             f3 = level3_0(f3)
             f3_4 = level3_1(f3)
-            pc4_, f4, _ = level4(pc3_, f3_4, train=train)
+            pc4_, f4, _ = level4(pc3_, f3_4, train=train,
+                                 prefix_sample=nested)
             return dict(pc=[pc0, pc1_, pc2_, pc3_, pc4_],
                         feat=[f0, f1, f2, f3, f4],
                         lift=[f0_1, f1_2, f2_3, f3_4],

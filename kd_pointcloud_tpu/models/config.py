@@ -74,6 +74,13 @@ class ModelConfig:
     # cost volume. ("default" was round 1's last perf step; reverted as a
     # correctness fix.)
     knn_precision: str = "highest"
+    # nested FPS: levels 2-4 sample by prefix-slicing level 1's FPS ordering
+    # instead of running their own FPS sweeps. EXACT, not approximate —
+    # greedy FPS orderings are nested (proof: nn/pointconv.py
+    # _fps_or_prefix), so this reproduces the reference's per-level chains
+    # (sampling_gpu.cu:93-209) while cutting 832 of 2880 serial FPS rounds
+    # and all inter-level index gathers. False restores per-level sweeps.
+    nested_fps: bool = True
 
     @property
     def returns_c_feats(self) -> bool:
@@ -83,6 +90,16 @@ class ModelConfig:
 PRESETS = {
     # teacher (models_bid_pointconv.py) — identical to lighttoken_res
     "teacher": ModelConfig(name="teacher"),
+    # SERVING config: the teacher arch with the cost-volume neighbor count
+    # halved (32 → 16). The parameter tree is IDENTICAL to teacher/
+    # lighttoken_res (K only sets gather/pool width), so any teacher
+    # checkpoint loads directly. K=16 halves the dominant l0 cost-volume
+    # row gathers and pool rows — the serving-latency wall — at a measured
+    # six-metric cost vs the exact path (scripts/selftest_tpu.py --metrics
+    # records the deltas on bundled KITTI; see BENCH JSON). A quantified
+    # relaxation, NOT the parity config: reference semantics keep K=32
+    # (pointconv_util.py:1815 nsample).
+    "serving": ModelConfig(name="serving", flow_nei=16),
     # the arch trained/evaluated by the main entries and the released ckpt
     "lighttoken_res": ModelConfig(name="lighttoken_res"),
     # WeightNet-compression student (models_bid_lighttoken_weight48.py:20-53)

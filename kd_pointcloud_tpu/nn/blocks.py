@@ -46,8 +46,11 @@ class Dense(nn.Module):
         fan_in = x.shape[-1]
         kernel = self.param("kernel", torch_kernel_init(),
                             (fan_in, self.features), jnp.float32)
+        # accumulate in ≥f32 (bf16 inputs accumulate f32; f64 stays f64 so
+        # the float64 parity harness measures math, not a hidden downcast)
+        acc = jnp.promote_types(x.dtype, jnp.float32)
         y = jnp.dot(x, kernel.astype(x.dtype),
-                    preferred_element_type=jnp.float32).astype(x.dtype)
+                    preferred_element_type=acc).astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(fan_in),
                               (self.features,), jnp.float32)

@@ -61,8 +61,9 @@ def weighted_contract(grouped, weights):
     reference matmul + .view, pointconv_util.py:245-247)."""
     B, S, _, C = grouped.shape
     W = weights.shape[-1]
+    acc = jnp.promote_types(grouped.dtype, jnp.float32)
     out = jnp.einsum("bskc,bskw->bscw", grouped, weights,
-                     preferred_element_type=jnp.float32).astype(grouped.dtype)
+                     preferred_element_type=acc).astype(grouped.dtype)
     return out.reshape(B, S, C * W)
 
 
@@ -88,11 +89,13 @@ def contract_dense(grouped, weights, dense: Dense):
     kern = dense.variables["params"]["kernel"].reshape(C, W, -1)
     bias = dense.variables["params"]["bias"]
 
+    acc = jnp.promote_types(grouped.dtype, jnp.float32)
+
     def part(g, k3):
         y = jnp.einsum("bskc,bskw->bscw", g, weights,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=acc)
         return jnp.einsum("bscw,cwo->bso", y, k3,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=acc)
 
     out = part(grouped[..., :3], kern[:3])
     if C > 3:
@@ -126,6 +129,29 @@ class PointConv(nn.Module):
         return leaky(y)
 
 
+def _fps_or_prefix(xyz, npoint: int, prefix: bool):
+    """FPS sample, or take the leading `npoint` rows when `prefix`.
+
+    Nested-FPS prefix property: greedy FPS orderings are NESTED — if a point
+    array is already in FPS-selection order (as every level's output is:
+    gather_points(xyz, fps_idx) keeps selection order), then FPS of its
+    first-M subset selects exactly those M points in the same order. Proof:
+    at step t the full-set argmax of min-dist is s_t, which lies in the
+    subset, so the subset argmax is also s_t; ties broke toward earlier
+    selection in the parent run and earlier selection = lower row in the
+    subset, so scan-order tie-breaks agree too. Hence the reference's
+    per-level FPS chains (sampling_gpu.cu:93-209, seeded at row 0 =
+    s_1) are reproduced EXACTLY by prefix slices of the level-1 ordering —
+    no iterations, no gather, no dispatch."""
+    if prefix:
+        B = xyz.shape[0]
+        idx = jnp.broadcast_to(jnp.arange(npoint, dtype=jnp.int32),
+                               (B, npoint))
+        return xyz[:, :npoint], idx
+    idx = furthest_point_sample(xyz, npoint)
+    return gather_points(xyz, idx), idx
+
+
 class PointConvD(nn.Module):
     """FPS-downsampling PointConv. Returns (new_xyz, new_feat, fps_idx)."""
 
@@ -139,9 +165,9 @@ class PointConvD(nn.Module):
     knn_precision: str = "highest"
 
     @nn.compact
-    def __call__(self, xyz, feats, train: bool = True):
-        fps_idx = furthest_point_sample(xyz, self.npoint)
-        new_xyz = gather_points(xyz, fps_idx)
+    def __call__(self, xyz, feats, train: bool = True,
+                 prefix_sample: bool = False):
+        new_xyz, fps_idx = _fps_or_prefix(xyz, self.npoint, prefix_sample)
         grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats,
                                  self.knn_method, self.knn_recall,
                                  precision=self.knn_precision)
@@ -169,9 +195,9 @@ class PointConvNonLinear(nn.Module):
     knn_precision: str = "highest"
 
     @nn.compact
-    def __call__(self, xyz, feats, train: bool = True):
-        fps_idx = furthest_point_sample(xyz, self.npoint)
-        new_xyz = gather_points(xyz, fps_idx)
+    def __call__(self, xyz, feats, train: bool = True,
+                 prefix_sample: bool = False):
+        new_xyz, fps_idx = _fps_or_prefix(xyz, self.npoint, prefix_sample)
         grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats,
                                  self.knn_method, self.knn_recall,
                                  precision=self.knn_precision)
@@ -179,7 +205,8 @@ class PointConvNonLinear(nn.Module):
         # keep (B, S, C, W) unflattened: reference permutes to (B, C, W, S)
         B, S, _, C = grouped.shape
         y = jnp.einsum("bskc,bskw->bscw", grouped, w,
-                       preferred_element_type=jnp.float32).astype(grouped.dtype)
+                       preferred_element_type=jnp.promote_types(
+                           grouped.dtype, jnp.float32)).astype(grouped.dtype)
         # grouped 1x1 over channel dim (torch Conv2d(groups=in_channel)):
         dw = self.param("depthwise", nn.initializers.variance_scaling(
             1.0 / 3.0, "fan_in", "uniform"), (C, 1), jnp.float32)

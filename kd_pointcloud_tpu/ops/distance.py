@@ -28,11 +28,14 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray,
     # passes) can flip near-ties. The model's cost-volume path opts into
     # "default" (≈1.4x faster end to end, measured recall vs exact ≈0.97 —
     # its consumers max-pool / IDW over K and tolerate a swapped neighbor).
+    # accumulate in ≥f32 (f64 inputs stay f64 — the float64 parity harness
+    # must measure math, not a hidden downcast)
+    acc = jnp.promote_types(src.dtype, jnp.float32)
     cross = jnp.matmul(src, jnp.swapaxes(dst, -1, -2),
-                       preferred_element_type=jnp.float32,
+                       preferred_element_type=acc,
                        precision=(jax.lax.Precision.HIGHEST
                                   if precision == "highest"
                                   else jax.lax.Precision.DEFAULT))
-    s2 = jnp.sum(src.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
-    d2 = jnp.sum(dst.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    s2 = jnp.sum(src.astype(acc) ** 2, axis=-1, keepdims=True)
+    d2 = jnp.sum(dst.astype(acc) ** 2, axis=-1, keepdims=True)
     return s2 - 2.0 * cross + jnp.swapaxes(d2, -1, -2)

@@ -90,9 +90,12 @@ def _pool_ref(g_kmaj, v, ws, bs, co):
     C = v.shape[-1]
     g = g_kmaj[..., co:co + C]
     h = _leaky(g + v[:, None, :, :])                # (B, K, N, C)
+    # promote so a float64 caller (the f64 parity harness) is not silently
+    # accumulated in f32; on-TPU production inputs are f32 → unchanged
+    acc = jnp.promote_types(h.dtype, jnp.float32)
     for w, b in zip(ws, bs):
-        h = _leaky(jnp.dot(h, w, preferred_element_type=jnp.float32,
-                           precision=_HIGHEST) + b)
+        h = _leaky(jnp.dot(h, w.astype(acc), preferred_element_type=acc,
+                           precision=_HIGHEST) + b.astype(acc))
     return jnp.max(h, axis=1)
 
 
@@ -221,8 +224,12 @@ def pool_mlp_max(g_kmaj: jnp.ndarray, v: jnp.ndarray, weights, biases,
 
     Returns (B, N, C) pooled features.
     """
-    ws = tuple(jnp.asarray(w, jnp.float32) for w in weights)
-    bs = tuple(jnp.asarray(b, jnp.float32) for b in biases)
+    # keep f64 weights for the off-TPU reference path (f64 parity harness);
+    # the TPU kernel path below requires f32 and checks g_kmaj.dtype
+    wdt = (jnp.float64 if any(jnp.asarray(w).dtype == jnp.float64
+                              for w in weights) else jnp.float32)
+    ws = tuple(jnp.asarray(w, wdt) for w in weights)
+    bs = tuple(jnp.asarray(b, wdt) for b in biases)
     C = v.shape[-1]
     if packed_p > 1:
         B, K, Np, Crow = g_kmaj.shape

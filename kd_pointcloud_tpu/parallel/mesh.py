@@ -57,6 +57,41 @@ def data_parallel_sharding(batch_size: int, logger=None):
     return mesh, batch_sharding(mesh)
 
 
+def resolve_global_batch(batch_size: int, per_device: bool,
+                         n_devices: Optional[int] = None) -> int:
+    """Global batch under the config's batch-size semantics.
+
+    per_device=True scales the configured size by the mesh size, so the
+    reference's bs=3 recipe (train_bid_pointconv.yaml) becomes 3/chip on a
+    v5e-8 (global 24) instead of wasting 7 of 8 chips. per_device=False
+    keeps the reference's global meaning."""
+    if not per_device:
+        return batch_size
+    n = n_devices if n_devices is not None else jax.device_count()
+    return batch_size * max(n, 1)
+
+
+def data_parallel_plan(batch_size: int, logger=None):
+    """(mesh, sharding-or-None, padded_batch) for a global batch size.
+
+    Unlike data_parallel_sharding's single-device fallback, a non-divisible
+    batch stays DATA-PARALLEL: the step batch is padded (repeat-last, like
+    eval's pad_last) up to the next multiple of the mesh and the train step
+    masks the pad rows out of the loss via batch["weight"]. padded_batch ==
+    batch_size when divisible. Sharding is None only on 1 device."""
+    mesh = make_mesh()
+    n = len(mesh.devices.flat)
+    if n <= 1:
+        return mesh, None, batch_size
+    padded = ((batch_size + n - 1) // n) * n
+    if padded != batch_size and logger is not None:
+        logger.info(
+            "batch_size %d padded to %d for the %d-device mesh (pad rows "
+            "are masked out of the loss); set batch_size_per_device: true "
+            "for full utilization", batch_size, padded, n)
+    return mesh, batch_sharding(mesh), padded
+
+
 def shard_batch(mesh: Mesh, batch):
     """Device-put a pytree of host arrays with the batch axis sharded."""
     sh = batch_sharding(mesh)

@@ -18,7 +18,8 @@ import numpy as np
 from .. import losses as loss_lib
 from ..data import DataLoader
 from ..models import PRESETS, BidPointFlowNet, Bridge
-from ..parallel import data_parallel_sharding, replicate
+from ..parallel import (data_parallel_sharding, replicate,
+                        resolve_global_batch)
 from ..utils import Config, blue, make_experiment_dir, make_logger
 from .checkpoints import (full_state_tree, load_checkpoint,
                           restore_train_state, save_checkpoint)
@@ -131,15 +132,21 @@ def distill(args: Config, mode: str = "standard",
     s_model = BidPointFlowNet(PRESETS[s_preset])
 
     train_ds, val_ds = build_datasets(args)
-    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
+    # multi-chip batch story: batch_size_per_device: true gives bs/chip
+    # (global = bs x mesh). The KD losses reduce over the batch internally
+    # (no per-sample variant), so a non-divisible GLOBAL batch falls back to
+    # single-device here — the shipped bs=8 divides a v5e-8 exactly.
+    global_bs = resolve_global_batch(
+        args.batch_size, args.get("batch_size_per_device", False))
+    train_loader = DataLoader(train_ds, global_bs, shuffle=True,
                               drop_last=True, num_workers=args.get("workers", 2))
-    val_loader = DataLoader(val_ds, args.batch_size, shuffle=False,
+    val_loader = DataLoader(val_ds, global_bs, shuffle=False,
                             drop_last=False, pad_last=True,
                             num_workers=args.get("workers", 2))
 
     # same data-parallel mesh as train_teacher (DataParallel gating parity:
     # distilTrain.py:108-114) — teacher + student replicated, batch sharded
-    mesh, sharding = data_parallel_sharding(args.batch_size, logger)
+    mesh, sharding = data_parallel_sharding(global_bs, logger)
 
     first = next(iter(train_loader))
     teacher_ckpt = None

@@ -15,7 +15,8 @@ import numpy as np
 
 from ..data import DATASETS, Augmentation, DataLoader, ProcessData
 from ..models import PRESETS, BidPointFlowNet
-from ..parallel import data_parallel_sharding, replicate
+from ..parallel import (data_parallel_plan, replicate,
+                        resolve_global_batch)
 from ..utils import Config, blue, make_experiment_dir, make_logger
 from .checkpoints import (full_state_tree,
                           restore_train_state, save_checkpoint)
@@ -77,15 +78,23 @@ def train_teacher(args: Config, max_epochs: Optional[int] = None,
 
     model = build_model(args)
     train_ds, val_ds = build_datasets(args)
-    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
+    # multi-chip batch story: batch_size_per_device: true scales the config
+    # batch by the mesh size (bs=3 -> 3/chip); otherwise the global batch is
+    # padded to the mesh (pad rows masked out of the loss) so data
+    # parallelism engages either way
+    global_bs = resolve_global_batch(
+        args.batch_size, args.get("batch_size_per_device", False))
+    train_loader = DataLoader(train_ds, global_bs, shuffle=True,
                               drop_last=True, num_workers=args.get("workers", 2))
     # eval keeps every sample: short final batch padded, metrics weighted by
     # the real count (fixes the reference's silent drop_last truncation)
-    val_loader = DataLoader(val_ds, args.batch_size, shuffle=False,
+    val_loader = DataLoader(val_ds, global_bs, shuffle=False,
                             drop_last=False, pad_last=True,
                             num_workers=args.get("workers", 2))
 
-    mesh, sharding = data_parallel_sharding(args.batch_size, logger)
+    mesh, sharding, padded_bs = data_parallel_plan(global_bs, logger)
+    train_pad = padded_bs if (sharding is not None
+                              and padded_bs != global_bs) else None
 
     first = next(iter(train_loader))
     variables = init_model(model, first)
@@ -122,7 +131,7 @@ def train_teacher(args: Config, max_epochs: Optional[int] = None,
         for i, batch_np in enumerate(train_loader):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
-            batch = batch_to_device(batch_np, sharding)
+            batch = batch_to_device(batch_np, sharding, pad_to=train_pad)
             state, loss = train_step(state, batch)
             losses.append(loss)
         train_loss = float(np.mean([float(l) for l in losses]))
@@ -130,7 +139,8 @@ def train_teacher(args: Config, max_epochs: Optional[int] = None,
                     train_loss)
 
         eval_epe3d, eval_loss = eval_sceneflow(
-            eval_step, state.variables, val_loader, sharding)
+            eval_step, state.variables, val_loader, sharding,
+            pad_to=train_pad)
         logger.info("EPOCH %d %s mean epe3d: %f  mean eval loss: %f",
                     epoch, blue("eval"), eval_epe3d, eval_loss)
 

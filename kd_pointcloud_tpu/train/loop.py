@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..losses import multi_scale_loss, multi_scale_loss_per_sample
@@ -31,6 +32,15 @@ def make_train_step(model: BidPointFlowNet, tx,
 
     if loss_fn is None:
         def loss_fn(out, batch):
+            if "weight" in batch:
+                # padded data-parallel batch (parallel/mesh.py
+                # data_parallel_plan): pad rows carry weight 0 so the loss
+                # is exactly the mean over the REAL samples
+                per = multi_scale_loss_per_sample(out["flows"],
+                                                  batch["flow"],
+                                                  out["fps_idx1"])
+                w = batch["weight"]
+                return jnp.sum(per * w) / jnp.sum(w)
             return multi_scale_loss(out["flows"], batch["flow"],
                                     out["fps_idx1"])
 
@@ -78,30 +88,47 @@ def make_eval_step(model: BidPointFlowNet):
     return step
 
 
-def batch_to_device(batch_np, sharding=None) -> Dict[str, jnp.ndarray]:
+def batch_to_device(batch_np, sharding=None,
+                    pad_to: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+    """pad_to: pad the batch axis (repeat-last) up to this size and attach a
+    0/1 "weight" row mask — data_parallel_plan's padded-batch protocol; the
+    train step's default loss then averages over real rows only."""
     pos1, pos2, norm1, norm2, flow, _paths = batch_np
     batch = dict(pos1=pos1, pos2=pos2, norm1=norm1, norm2=norm2, flow=flow)
+    if pad_to is not None and pos1.shape[0] != pad_to:
+        n = pos1.shape[0]
+        reps = pad_to - n
+        batch = {k: np.concatenate([v, np.repeat(v[-1:], reps, axis=0)])
+                 for k, v in batch.items()}
+        batch["weight"] = np.concatenate(
+            [np.ones(n, np.float32), np.zeros(reps, np.float32)])
+    elif pad_to is not None:
+        batch["weight"] = np.ones(pos1.shape[0], np.float32)
     if sharding is not None:
         batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
-def eval_sceneflow(eval_step, variables, loader, sharding=None
-                   ) -> Tuple[float, float]:
+def eval_sceneflow(eval_step, variables, loader, sharding=None,
+                   pad_to: Optional[int] = None) -> Tuple[float, float]:
     """Mean EPE3D + eval loss over a loader (train_bid_pointconv.py:184-210).
 
     Per-sample results are masked by the loader's pad sentinel, so padded
-    final batches (loader pad_last=True) contribute only their real samples."""
+    final batches (loader pad_last=True) contribute only their real samples.
+    pad_to additionally pads each batch up to a mesh-divisible size
+    (data_parallel_plan protocol); those rows are masked out too."""
     from ..data import PAD_PATH
 
     epes, losses, masks = [], [], []
     for batch_np in loader:
-        batch = batch_to_device(batch_np, sharding)
+        batch = batch_to_device(batch_np, sharding, pad_to=pad_to)
         epe3d, loss, _ = eval_step(variables, batch)
         epes.append(epe3d)
         losses.append(loss)
-        masks.append(jnp.asarray(
-            [p != PAD_PATH for p in batch_np[5]], jnp.float32))
+        real = [p != PAD_PATH for p in batch_np[5]]
+        if pad_to is not None:
+            real += [False] * (pad_to - len(real))
+        masks.append(jnp.asarray(real, jnp.float32))
     epe = jnp.concatenate([jnp.atleast_1d(e) for e in epes])
     loss = jnp.concatenate([jnp.atleast_1d(l) for l in losses])
     mask = jnp.concatenate(masks)

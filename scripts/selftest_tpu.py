@@ -158,7 +158,70 @@ def main():
                 results[f"preset_{name}"] = f"FAIL: {str(e)[:80]}"
                 ok = False
 
-    results["ok"] = ok
+    # ---- optional: SIX-METRIC parity of the production approx path vs the
+    # exact path on real hardware (VERDICT r2 #3). Needs the eval-parity
+    # fixture weights (tests/make_eval_parity_fixture.py output) so both
+    # paths run a real trained-shape model; thresholds mirror
+    # tests/test_eval_parity.py::TestProductionPathMetrics.
+    if "--metrics" in sys.argv:
+        import dataclasses
+
+        from kd_pointcloud_tpu.data import KITTI, ProcessData
+        from kd_pointcloud_tpu.eval.geometry import get_batch_2d_flow
+        from kd_pointcloud_tpu.eval.metrics import evaluate_2d, evaluate_3d
+        from kd_pointcloud_tpu.models import PRESETS, BidPointFlowNet
+        from kd_pointcloud_tpu.models.torch_import import load_torch_checkpoint
+
+        sd_path = "/tmp/kdpc_eval_parity/ref_eval_random.pth"
+        n_scenes = 50
+        params, stats = load_torch_checkpoint(sd_path)
+        ds = KITTI(train=False, transform=ProcessData(num_points=8192))
+        scenes = []
+        for i in range(n_scenes):
+            pc1s, pc2s, _, _, sf, path = ds[i]
+            scenes.append((pc1s, pc2s, sf, path))
+
+        means = {}
+        for name, cfg in (
+                ("exact", dataclasses.replace(PRESETS["teacher"],
+                                              knn_method="exact",
+                                              knn_precision="highest")),
+                ("production", PRESETS["teacher"]),
+                # serving preset (flow_nei 16): same param tree — the
+                # quantified-relaxation config whose deltas license the
+                # serving BENCH headline
+                ("serving", PRESETS["serving"])):
+            model = BidPointFlowNet(cfg)
+            fwd = jax.jit(lambda vv, a, b, mm=model: mm.apply(
+                vv, a, b, a, b, train=False)["flows"][0])
+            rows = []
+            for pc1s, pc2s, sf, path in scenes:
+                pred = np.asarray(fwd(
+                    {"params": params, "batch_stats": stats},
+                    jnp.asarray(pc1s[None]), jnp.asarray(pc2s[None])))[0]
+                epe3d, a3s, a3r, outl = evaluate_3d(pred, sf)
+                f2d_pred, f2d_gt = get_batch_2d_flow(
+                    pc1s[None], (pc1s + sf)[None], (pc1s + pred)[None],
+                    [path])
+                epe2d, a2d = evaluate_2d(f2d_pred[0], f2d_gt[0])
+                rows.append([epe3d, a3s, a3r, outl, epe2d, a2d])
+            means[name] = np.mean(np.asarray(rows), axis=0)
+        results["metrics_exact"] = [round(float(x), 5)
+                                    for x in means["exact"]]
+        metrics_ok = True
+        for variant in ("production", "serving"):
+            d = means[variant] - means["exact"]
+            results[f"metric_deltas_{variant}_minus_exact"] = [
+                round(float(x), 6) for x in d]
+            v_ok = bool(abs(d[0]) <= 1e-3 and abs(d[1]) <= 3e-3
+                        and abs(d[2]) <= 3e-3 and abs(d[3]) <= 3e-3
+                        and abs(d[4]) <= 5e-2 and abs(d[5]) <= 3e-3)
+            results[f"metrics_ok_{variant}"] = v_ok
+            metrics_ok = metrics_ok and v_ok
+        results["metrics_ok"] = metrics_ok
+        ok = ok and metrics_ok
+
+    results["ok"] = bool(ok)
     print(json.dumps(results))
     return 0 if ok else 1
 

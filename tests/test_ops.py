@@ -72,6 +72,22 @@ class TestFps:
         for b in range(2):
             assert len(set(idx[b].tolist())) == 32  # no duplicates
 
+    def test_nested_prefix_property(self, rng):
+        """Greedy FPS orderings are nested: a per-level FPS run over an
+        FPS-ordered array selects exactly its leading rows, in order — the
+        invariant the model's nested_fps prefix sampling relies on
+        (nn/pointconv.py _fps_or_prefix)."""
+        xyz = rng.randn(2, 512, 3).astype(np.float32) * 10
+        l1 = np.asarray(ops.gather_points(
+            xyz, ops.furthest_point_sample(xyz, 128)))
+        idx2 = np.asarray(ops.furthest_point_sample(l1, 48))
+        np.testing.assert_array_equal(
+            idx2, np.broadcast_to(np.arange(48, dtype=np.int32), (2, 48)))
+        l2 = np.asarray(ops.gather_points(l1, idx2))
+        idx3 = np.asarray(ops.furthest_point_sample(l2, 16))
+        np.testing.assert_array_equal(
+            idx3, np.broadcast_to(np.arange(16, dtype=np.int32), (2, 16)))
+
 
 class TestGather:
     def test_gather_points(self, rng):

