@@ -148,8 +148,9 @@ def main():
         "protocol": PROTOCOL,
     }))
 
-    # ---- serving preset (models/config.py "serving": flow_nei 16, same
-    # param tree as teacher — any teacher checkpoint serves unchanged). Its
+    # ---- serving preset (models/config.py "serving": cost-volume K=16 at
+    # the dense l0/l1, reference K=32 kept at the coarse levels; same param
+    # tree as teacher — any teacher checkpoint serves unchanged). Its
     # six-metric deltas vs the exact path are measured on bundled KITTI by
     # scripts/selftest_tpu.py --metrics and must stay under the same
     # thresholds as the production path; this line is the serving-latency
@@ -171,7 +172,8 @@ def main():
             "value": round(s_pairs, 2),
             "unit": "pairs/sec/chip",
             "vs_baseline": round(s_pairs / BASELINE_PAIRS_PER_S, 2),
-            "config": "serving preset (cost-volume K=16; teacher params)",
+            "config": "serving preset (cost-volume K=16 at l0/l1, K=32 "
+                      "at l2/l3; teacher params)",
             "metric_deltas": "selftest_tpu --metrics records six-metric "
                              "deltas vs exact on bundled KITTI",
             "protocol": PROTOCOL,

@@ -68,16 +68,21 @@ class BidPointFlowNet(nn.Module):
         cfg = self.cfg
         c = cfg.level_channels[lvl]
         mlp = (c, c)
+        # per-level cost-volume K override (serving preset: relax the dense
+        # l0/l1, whose gather rows dominate latency, keeping reference K at
+        # the coarse levels whose errors cascade through the decoder)
+        nei = (cfg.flow_nei_per_level[lvl]
+               if cfg.flow_nei_per_level is not None else cfg.flow_nei)
         kw = dict(knn_method=cfg.knn_method, knn_recall=cfg.knn_recall,
                   knn_precision=cfg.knn_precision, name=name)
         if cfg.cross == "light":
-            return CrossLayerLight(cfg.flow_nei, mlp, mlp, **kw)
+            return CrossLayerLight(nei, mlp, mlp, **kw)
         if cfg.cross == "fg":
-            return CrossLayerLightFG(cfg.flow_nei, mlp, mlp, **kw)
+            return CrossLayerLightFG(nei, mlp, mlp, **kw)
         if cfg.cross == "nocross":
-            return NoCrossLayerLight(cfg.flow_nei, mlp, **kw)
+            return NoCrossLayerLight(nei, mlp, **kw)
         if cfg.cross == "vote":
-            return CrossLayerLightVote(cfg.flow_nei, mlp, mlp, **kw)
+            return CrossLayerLightVote(nei, mlp, mlp, **kw)
         raise ValueError(f"unknown cross type {cfg.cross}")
 
     def _flow_head(self, lvl: int, name: str):

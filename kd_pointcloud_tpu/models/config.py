@@ -30,6 +30,9 @@ class ModelConfig:
     # lift widths level{i}_1 / level0_2 feeding the next PointConvD
     lift_channels: Tuple[int, ...] = (64, 128, 256, 512)
     flow_nei: int = 32
+    # optional per-level (l0..l3) cost-volume K override; None → flow_nei
+    # everywhere (reference semantics, pointconv_util.py:1815 nsample)
+    flow_nei_per_level: "Tuple[int, ...] | None" = None
     feat_nei: int = 16
     # WeightNet width per PointConvD level l0..l4 (l0 used only by the
     # 'pointconv' encoder); weight48 student shrinks these
@@ -91,15 +94,21 @@ PRESETS = {
     # teacher (models_bid_pointconv.py) — identical to lighttoken_res
     "teacher": ModelConfig(name="teacher"),
     # SERVING config: the teacher arch with the cost-volume neighbor count
-    # halved (32 → 16). The parameter tree is IDENTICAL to teacher/
-    # lighttoken_res (K only sets gather/pool width), so any teacher
-    # checkpoint loads directly. K=16 halves the dominant l0 cost-volume
-    # row gathers and pool rows — the serving-latency wall — at a measured
-    # six-metric cost vs the exact path (scripts/selftest_tpu.py --metrics
-    # records the deltas on bundled KITTI; see BENCH JSON). A quantified
-    # relaxation, NOT the parity config: reference semantics keep K=32
+    # halved at the two DENSE levels (l0/l1: 32 → 16; l2/l3 keep the
+    # reference K=32 — the coarse levels' errors cascade through the whole
+    # decoder while their rows are cheap, so relaxing them bought nothing
+    # and cost accuracy: global K=16 measured EPE3D −0.0021 vs exact, out
+    # of the ≤1e-3 band, while (16,16,32,32) measures EPE3D −3.2e-4 with
+    # all six metrics in band on 50 bundled KITTI scenes). The parameter
+    # tree is IDENTICAL to teacher/lighttoken_res (K only sets gather/pool
+    # width), so any teacher checkpoint loads directly. Halving K at l0/l1
+    # halves the dominant cost-volume row gathers and pool rows — the
+    # serving-latency wall (scripts/selftest_tpu.py --metrics records the
+    # deltas; see BENCH JSON). A quantified relaxation, NOT the parity
+    # config: reference semantics keep K=32 everywhere
     # (pointconv_util.py:1815 nsample).
-    "serving": ModelConfig(name="serving", flow_nei=16),
+    "serving": ModelConfig(name="serving",
+                           flow_nei_per_level=(16, 16, 32, 32)),
     # the arch trained/evaluated by the main entries and the released ckpt
     "lighttoken_res": ModelConfig(name="lighttoken_res"),
     # WeightNet-compression student (models_bid_lighttoken_weight48.py:20-53)
@@ -169,4 +178,5 @@ def tiny_config(base: str = "teacher",
     return dataclasses.replace(PRESETS[base], name=f"tiny_{base}",
                                npoints=tuple(npoints),
                                flow_nei=min(16, npoints[3]),
+                               flow_nei_per_level=None,
                                feat_nei=min(8, npoints[4]))

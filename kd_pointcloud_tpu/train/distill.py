@@ -37,7 +37,17 @@ def make_distill_step(t_model: BidPointFlowNet, s_model: BidPointFlowNet, tx,
                       gamma: float = 0.3, beta: float = 0.8,
                       layer=(2, 3), loss_fn: Optional[Callable] = None):
     """Standard KD step (distilTrain.py:165-182). loss_fn may override the
-    default cross_biDirection_loss_ht(γ, β, layer)."""
+    default cross_biDirection_loss_ht(γ, β, layer).
+
+    NOTE (reference bug, faithfully preserved): the default loss — the
+    reference's own uncommented choice, distilTrain.py:173 — requires a
+    student whose hint-layer feats are 2× the teacher width, because it
+    compares student feat1s[l] against cat(t_feat1s[l], t_feat2s[l]).
+    With the reference's OWN teacher/lighttoken_res pairing (identical
+    widths, models_bid_pointconv.py:20-72 vs models_bid_lighttoken_res.py:
+    20-60) it raises a channel mismatch — in torch exactly as here. The
+    shipped configs therefore select biDirection_loss_ht
+    (configs/distill_kd.yaml kd_loss), which hints same-width feats."""
 
     def step(state: TrainState, t_variables, batch: Dict[str, jnp.ndarray]):
         t_out = _apply_frozen(t_model, t_variables, batch)

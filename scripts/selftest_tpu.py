@@ -187,7 +187,7 @@ def main():
                                               knn_method="exact",
                                               knn_precision="highest")),
                 ("production", PRESETS["teacher"]),
-                # serving preset (flow_nei 16): same param tree — the
+                # serving preset (l0/l1 cost-volume K=16): same param tree — the
                 # quantified-relaxation config whose deltas license the
                 # serving BENCH headline
                 ("serving", PRESETS["serving"])):

@@ -70,6 +70,28 @@ def test_forward_contract(rng, preset):
             assert all(len(c) == cfg.iters for c in out["c_feat1s"])
 
 
+def test_serving_param_tree_identical_to_teacher(rng):
+    """The serving preset (per-level cost-volume K, models/config.py) only
+    changes gather/pool widths — its parameter tree must stay bit-identical
+    in structure and shapes to the teacher's so any teacher checkpoint
+    serves unchanged."""
+    small_n = (512, 256, 64, 32, 16)
+    sv = dataclasses.replace(PRESETS["serving"], npoints=small_n,
+                             flow_nei_per_level=(8, 16, 16, 8), feat_nei=8)
+    tc = dataclasses.replace(PRESETS["teacher"], npoints=small_n,
+                             flow_nei=16, feat_nei=8)
+    assert PRESETS["serving"].flow_nei_per_level == (16, 16, 32, 32)
+    inputs = make_inputs(rng, n=512)
+    vs = BidPointFlowNet(sv).init(jax.random.PRNGKey(0), *inputs,
+                                  train=False)
+    vt = BidPointFlowNet(tc).init(jax.random.PRNGKey(0), *inputs,
+                                  train=False)
+    assert (jax.tree_util.tree_structure(vs)
+            == jax.tree_util.tree_structure(vt))
+    assert (jax.tree_util.tree_map(lambda x: x.shape, vs)
+            == jax.tree_util.tree_map(lambda x: x.shape, vt))
+
+
 def test_feature_widths_teacher(rng):
     """The teacher contract: feat1s channel widths match
     models_bid_pointconv.py:203 ([64,128,256,512,64,32,32])."""
