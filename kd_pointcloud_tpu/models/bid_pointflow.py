@@ -62,7 +62,8 @@ class BidPointFlowNet(nn.Module):
         return cls(cfg.npoints[lvl], cfg.feat_nei, cfg.level_channels[lvl],
                    weightnet=cfg.weightnet[lvl], knn_method=cfg.knn_method,
                    knn_recall=cfg.knn_recall,
-                   knn_precision=cfg.knn_precision, name=name)
+                   knn_precision=cfg.knn_precision,
+                   fps_blocks=cfg.fps_blocks, name=name)
 
     def _cross(self, lvl: int, name: str):
         cfg = self.cfg

@@ -33,6 +33,12 @@ class ModelConfig:
     # optional per-level (l0..l3) cost-volume K override; None → flow_nei
     # everywhere (reference semantics, pointconv_util.py:1815 nsample)
     flow_nei_per_level: "Tuple[int, ...] | None" = None
+    # FPS serial-chain relaxation: >1 runs exact FPS per contiguous block
+    # with interleaved orderings (ops/fps.py furthest_point_sample_blocked).
+    # 1 = reference semantics (global greedy FPS, sampling_gpu.cu:93-209).
+    # Under nested_fps only the l1 sweep runs real FPS, so this knob only
+    # affects l1's sampling; the coarser levels prefix-slice its ordering.
+    fps_blocks: int = 1
     feat_nei: int = 16
     # WeightNet width per PointConvD level l0..l4 (l0 used only by the
     # 'pointconv' encoder); weight48 student shrinks these
@@ -107,6 +113,14 @@ PRESETS = {
     # deltas; see BENCH JSON). A quantified relaxation, NOT the parity
     # config: reference semantics keep K=32 everywhere
     # (pointconv_util.py:1815 nsample).
+    # fps_blocks (ops/fps.py furthest_point_sample_blocked) would relax the
+    # OTHER serving wall, the serial l1 FPS chain: fps_blocks=8 measured
+    # 144→170 pairs/s, but its EPE3D delta sits ON the ±1e-3 band edge
+    # (−8.2e-4 and −1.04e-3 across two 50-scene runs; run-to-run metric
+    # reproducibility is ~±2e-4 from layout-induced distance-tie flips), so
+    # it is NOT the default — the shipped serving preset keeps exact FPS
+    # and a 3× in-band margin. Users who accept the band-edge deltas can
+    # set fps_blocks=8 for ~6.6× baseline.
     "serving": ModelConfig(name="serving",
                            flow_nei_per_level=(16, 16, 32, 32)),
     # the arch trained/evaluated by the main entries and the released ckpt

@@ -129,7 +129,7 @@ class PointConv(nn.Module):
         return leaky(y)
 
 
-def _fps_or_prefix(xyz, npoint: int, prefix: bool):
+def _fps_or_prefix(xyz, npoint: int, prefix: bool, fps_blocks: int = 1):
     """FPS sample, or take the leading `npoint` rows when `prefix`.
 
     Nested-FPS prefix property: greedy FPS orderings are NESTED — if a point
@@ -148,7 +148,13 @@ def _fps_or_prefix(xyz, npoint: int, prefix: bool):
         idx = jnp.broadcast_to(jnp.arange(npoint, dtype=jnp.int32),
                                (B, npoint))
         return xyz[:, :npoint], idx
-    idx = furthest_point_sample(xyz, npoint)
+    if fps_blocks > 1:
+        # serving-preset relaxation: blocks×-shorter serial chain, exact
+        # FPS per block, interleaved (ops/fps.py docstring)
+        from ..ops.fps import furthest_point_sample_blocked
+        idx = furthest_point_sample_blocked(xyz, npoint, fps_blocks)
+    else:
+        idx = furthest_point_sample(xyz, npoint)
     return gather_points(xyz, idx), idx
 
 
@@ -163,11 +169,13 @@ class PointConvD(nn.Module):
     knn_method: str = "exact"
     knn_recall: float = 0.95
     knn_precision: str = "highest"
+    fps_blocks: int = 1
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True,
                  prefix_sample: bool = False):
-        new_xyz, fps_idx = _fps_or_prefix(xyz, self.npoint, prefix_sample)
+        new_xyz, fps_idx = _fps_or_prefix(xyz, self.npoint, prefix_sample,
+                                          self.fps_blocks)
         grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats,
                                  self.knn_method, self.knn_recall,
                                  precision=self.knn_precision)
@@ -193,11 +201,13 @@ class PointConvNonLinear(nn.Module):
     knn_method: str = "exact"
     knn_recall: float = 0.95
     knn_precision: str = "highest"
+    fps_blocks: int = 1
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True,
                  prefix_sample: bool = False):
-        new_xyz, fps_idx = _fps_or_prefix(xyz, self.npoint, prefix_sample)
+        new_xyz, fps_idx = _fps_or_prefix(xyz, self.npoint, prefix_sample,
+                                          self.fps_blocks)
         grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats,
                                  self.knn_method, self.knn_recall,
                                  precision=self.knn_precision)

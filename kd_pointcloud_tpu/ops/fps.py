@@ -48,6 +48,39 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
     return _furthest_point_sample_xla(xyz, npoint)
 
 
+def furthest_point_sample_blocked(xyz: jnp.ndarray, npoint: int,
+                                  blocks: int,
+                                  backend: str = "auto") -> jnp.ndarray:
+    """Approximate FPS with a `blocks`×-shorter serial chain.
+
+    Exact greedy FPS is serial in npoint (sampling_gpu.cu:93-209: each round
+    depends on the previous argmax), which makes the l1 sweep
+    (8192→2048) a latency wall no matter how wide the chip is. This
+    relaxation partitions the N input rows into `blocks` contiguous chunks,
+    runs EXACT FPS per chunk — all chunks ride the same kernel's batch
+    vectorization, so the serial chain shrinks from npoint to
+    npoint/blocks rounds — and interleaves the chunk orderings so that any
+    PREFIX of the result is block-balanced (preserving the nested-FPS
+    prefix property approximately: a prefix of length k holds ~k/blocks
+    exact-FPS points of every chunk).
+
+    A serving-preset knob (ModelConfig.fps_blocks), NOT the parity path:
+    reference semantics are global FPS. Metric cost is measured by
+    scripts/selftest_tpu.py --metrics like every serving relaxation.
+
+    Requires N % blocks == 0 and npoint % blocks == 0 (falls back to exact
+    FPS otherwise).
+    """
+    B, N, _ = xyz.shape
+    if blocks <= 1 or N % blocks or npoint % blocks:
+        return furthest_point_sample(xyz, npoint, backend)
+    nb, sb = N // blocks, npoint // blocks
+    idx = furthest_point_sample(xyz.reshape(B * blocks, nb, 3), sb, backend)
+    off = (jnp.arange(blocks, dtype=jnp.int32) * nb)[None, :, None]
+    idx = idx.reshape(B, blocks, sb) + off          # block-local → global
+    return jnp.swapaxes(idx, 1, 2).reshape(B, npoint)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _furthest_point_sample_xla(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     B, N, _ = xyz.shape

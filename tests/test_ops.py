@@ -88,6 +88,28 @@ class TestFps:
         np.testing.assert_array_equal(
             idx3, np.broadcast_to(np.arange(16, dtype=np.int32), (2, 16)))
 
+    def test_blocked_matches_per_block_exact(self, rng):
+        """furthest_point_sample_blocked = exact FPS per contiguous block,
+        orderings interleaved (the serving-preset FPS relaxation)."""
+        from kd_pointcloud_tpu.ops.fps import furthest_point_sample_blocked
+
+        xyz = rng.randn(2, 64, 3).astype(np.float32) * 5
+        got = np.asarray(furthest_point_sample_blocked(xyz, 16, 4))
+        per_block = np.stack([np_fps(xyz[:, b * 16:(b + 1) * 16], 4) + b * 16
+                              for b in range(4)], axis=1)   # (B, 4, 4)
+        want = np.swapaxes(per_block, 1, 2).reshape(2, 16)  # interleaved
+        np.testing.assert_array_equal(got, want)
+        # block-balanced prefix: the first `blocks` entries hit every block
+        assert ({int(i) // 16 for i in got[0, :4]} == {0, 1, 2, 3})
+
+    def test_blocked_falls_back_to_exact(self, rng):
+        from kd_pointcloud_tpu.ops.fps import furthest_point_sample_blocked
+
+        xyz = rng.randn(2, 62, 3).astype(np.float32)  # 62 % 4 != 0
+        got = np.asarray(furthest_point_sample_blocked(xyz, 16, 4))
+        np.testing.assert_array_equal(
+            got, np.asarray(ops.furthest_point_sample(xyz, 16)))
+
 
 class TestGather:
     def test_gather_points(self, rng):
