@@ -45,6 +45,10 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
     if backend == "pallas":
         from .pallas.fps_pallas import furthest_point_sample_pallas
         return furthest_point_sample_pallas(xyz, npoint)
+    if backend == "pruned":
+        # FlashFPS-style pruning, bit-identical indices (fps_pruned.py)
+        from .pallas.fps_pruned import furthest_point_sample_pruned
+        return furthest_point_sample_pruned(xyz, npoint)
     return _furthest_point_sample_xla(xyz, npoint)
 
 

@@ -110,6 +110,27 @@ class TestFps:
         np.testing.assert_array_equal(
             got, np.asarray(ops.furthest_point_sample(xyz, 16)))
 
+    @pytest.mark.parametrize("restrict_scan", [True, False])
+    def test_pruned_kernel_bit_exact(self, rng, restrict_scan):
+        """The pruned FPS kernel (ops/pallas/fps_pruned.py) must select the
+        BIT-IDENTICAL index sequence as reference-semantics FPS: pruning
+        only skips provably no-op min-updates and the argmax/tie-break
+        machinery rides cached per-sub-block maxima + the original-index
+        plane. Interpret mode exercises the full kernel logic on CPU."""
+        from kd_pointcloud_tpu.ops.pallas.fps_pruned import (
+            furthest_point_sample_pruned)
+
+        for B, N, npoint in [(1, 2048, 192), (2, 1024, 160)]:
+            # clustered clouds so windows actually prune (uniform noise
+            # keeps everything dirty and skips the pruned code path)
+            cent = rng.randn(B, 16, 1, 3) * 20
+            xyz = (cent + rng.randn(B, 16, N // 16, 3)).reshape(
+                B, N, 3).astype(np.float32)
+            got = np.asarray(furthest_point_sample_pruned(
+                jnp.asarray(xyz), npoint, interpret=True,
+                restrict_scan=restrict_scan))
+            np.testing.assert_array_equal(got, np_fps(xyz, npoint))
+
 
 class TestGather:
     def test_gather_points(self, rng):
