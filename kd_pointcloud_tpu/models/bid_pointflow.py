@@ -63,7 +63,8 @@ class BidPointFlowNet(nn.Module):
                    weightnet=cfg.weightnet[lvl], knn_method=cfg.knn_method,
                    knn_recall=cfg.knn_recall,
                    knn_precision=cfg.knn_precision,
-                   fps_blocks=cfg.fps_blocks, name=name)
+                   fps_blocks=cfg.fps_blocks, fps_backend=cfg.fps_backend,
+                   name=name)
 
     def _cross(self, lvl: int, name: str):
         cfg = self.cfg

@@ -129,7 +129,8 @@ class PointConv(nn.Module):
         return leaky(y)
 
 
-def _fps_or_prefix(xyz, npoint: int, prefix: bool, fps_blocks: int = 1):
+def _fps_or_prefix(xyz, npoint: int, prefix: bool, fps_blocks: int = 1,
+                   fps_backend: str = "auto"):
     """FPS sample, or take the leading `npoint` rows when `prefix`.
 
     Nested-FPS prefix property: greedy FPS orderings are NESTED — if a point
@@ -152,9 +153,10 @@ def _fps_or_prefix(xyz, npoint: int, prefix: bool, fps_blocks: int = 1):
         # serving-preset relaxation: blocks×-shorter serial chain, exact
         # FPS per block, interleaved (ops/fps.py docstring)
         from ..ops.fps import furthest_point_sample_blocked
-        idx = furthest_point_sample_blocked(xyz, npoint, fps_blocks)
+        idx = furthest_point_sample_blocked(xyz, npoint, fps_blocks,
+                                            backend=fps_backend)
     else:
-        idx = furthest_point_sample(xyz, npoint)
+        idx = furthest_point_sample(xyz, npoint, backend=fps_backend)
     return gather_points(xyz, idx), idx
 
 
@@ -170,12 +172,13 @@ class PointConvD(nn.Module):
     knn_recall: float = 0.95
     knn_precision: str = "highest"
     fps_blocks: int = 1
+    fps_backend: str = "auto"
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True,
                  prefix_sample: bool = False):
         new_xyz, fps_idx = _fps_or_prefix(xyz, self.npoint, prefix_sample,
-                                          self.fps_blocks)
+                                          self.fps_blocks, self.fps_backend)
         grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats,
                                  self.knn_method, self.knn_recall,
                                  precision=self.knn_precision)
@@ -202,12 +205,13 @@ class PointConvNonLinear(nn.Module):
     knn_recall: float = 0.95
     knn_precision: str = "highest"
     fps_blocks: int = 1
+    fps_backend: str = "auto"
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True,
                  prefix_sample: bool = False):
         new_xyz, fps_idx = _fps_or_prefix(xyz, self.npoint, prefix_sample,
-                                          self.fps_blocks)
+                                          self.fps_blocks, self.fps_backend)
         grouped, rel = group_knn(self.nsample, xyz, new_xyz, feats,
                                  self.knn_method, self.knn_recall,
                                  precision=self.knn_precision)

@@ -35,20 +35,29 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
       (B, npoint) int32 indices into xyz. Index 0 is always the seed,
       matching sampling_gpu.cu:114-115.
     """
-    if backend == "auto":
+    if jax.default_backend() in ("cpu", "gpu"):
+        # All backends select IDENTICAL indices; the Mosaic kernels only
+        # exist on TPU, so off-TPU every choice lowers to the XLA loop.
+        backend = "xla"
+    elif backend == "auto":
         # NB: keep "xla" off the TPU — besides being slow, the XLA fori_loop
         # path MISCOMPILES on v5e at (B=6, N=8192, npoint=2048): its indices
         # diverge from a host numpy oracle while the Pallas kernel matches
         # it exactly (verified on real hardware, round 2).
-        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") \
-            else "xla"
+        backend = "pallas"
     if backend == "pallas":
         from .pallas.fps_pallas import furthest_point_sample_pallas
         return furthest_point_sample_pallas(xyz, npoint)
     if backend == "pruned":
-        # FlashFPS-style pruning, bit-identical indices (fps_pruned.py)
-        from .pallas.fps_pruned import furthest_point_sample_pruned
-        return furthest_point_sample_pruned(xyz, npoint)
+        # FlashFPS-style pruning, bit-identical indices (fps_pruned.py).
+        # The pruned layout needs N % 1024 == 0 (folded 128-lane windows);
+        # other shapes fall back to the folded kernel — same indices, so
+        # the choice is invisible to callers.
+        if xyz.shape[1] % 1024 == 0:
+            from .pallas.fps_pruned import furthest_point_sample_pruned
+            return furthest_point_sample_pruned(xyz, npoint)
+        from .pallas.fps_pallas import furthest_point_sample_pallas
+        return furthest_point_sample_pallas(xyz, npoint)
     return _furthest_point_sample_xla(xyz, npoint)
 
 

@@ -131,6 +131,17 @@ class TestFps:
                 restrict_scan=restrict_scan))
             np.testing.assert_array_equal(got, np_fps(xyz, npoint))
 
+    def test_backend_dispatch_off_tpu(self, rng):
+        """Off-TPU every backend routes to the XLA loop (identical indices
+        by construction — the Mosaic kernels are TPU-only), so a config
+        carrying fps_backend='pruned' stays runnable in CPU tests."""
+        xyz = rng.randn(2, 96, 3).astype(np.float32)
+        want = np.asarray(ops.furthest_point_sample(xyz, 24))
+        for be in ("auto", "pallas", "pruned", "xla"):
+            np.testing.assert_array_equal(
+                np.asarray(ops.furthest_point_sample(xyz, 24, backend=be)),
+                want)
+
 
 class TestGather:
     def test_gather_points(self, rng):
