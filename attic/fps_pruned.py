@@ -1,5 +1,30 @@
 """Pruned exact-FPS Pallas kernel (FlashFPS/QuickFPS-style, TPU-shaped).
 
+NEGATIVE RESULT (round 3, measured on the real v5e): the pruned kernel is
+~2x SLOWER than the plain folded kernel (ops/pallas/fps_pallas.py) despite
+pruning ~half the distance work (mean dirty windows 3.9/8 on bundled
+KITTI). On-chip, quiet host, 8192->2048:
+
+    B=1: folded 2.14 ms, pruned 4.07 ms (0.53x)
+    B=2: folded 2.42 ms, pruned 5.13 ms (0.47x)
+    B=3: folded 2.36 ms, pruned 4.77 ms (0.49x)
+    in-model teacher eval bs=1: 8.32 ms (folded) vs 11.32 ms (pruned)
+
+Why: exact FPS on TPU is SERIAL-LATENCY-bound, not distance-compute-bound.
+The folded kernel's full (R, 1024) distance+min pass is ~16 vregs of VPU
+work — a small slice of its ~1.1 us/round wall; the rest is the argmax
+fold, tie-break scan, coordinate extraction, and loop overhead on the
+serial critical path. Pruning shrinks the cheap part and ADDS critical-path
+latency per round: the bound test, two pack_bits roll-folds, SMEM
+round-trips for the dirty mask, and W @pl.when branches. FLOP savings
+cannot pay back critical-path additions in a latency-bound loop.
+
+Kept for the ledger: the 2-level equal-count spatial sort, fat-window
+quarantine, bit-packed SMEM masks, and the bm-cached argmax are reusable
+pieces if Mosaic ever exposes cheaper scalar control flow. The kernel is
+bit-exact vs reference FPS semantics at every tested shape, on-chip
+(B in {1,2,3,6,8}; tests/test_ops.py pins interpret mode on CPU).
+
 The folded FPS kernel (fps_pallas.py) pays a full (R, L) distance+min pass
 plus a full-plane argmax and one-hot coordinate extraction on every one of
 its npoint serial rounds. But FPS rounds are geometrically local: round

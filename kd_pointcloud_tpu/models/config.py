@@ -40,11 +40,10 @@ class ModelConfig:
     # affects l1's sampling; the coarser levels prefix-slice its ordering.
     fps_blocks: int = 1
     # FPS kernel backend (ops/fps.py furthest_point_sample): "auto" picks
-    # the shipped Pallas kernel on TPU / XLA loop on CPU; "pruned" opts into
-    # the FlashFPS-style pruned kernel (ops/pallas/fps_pruned.py) — bit-
-    # identical indices, prunes provably-no-op distance updates. Semantics
-    # are IDENTICAL across backends (sampling_gpu.cu:93-209); this knob is
-    # purely a latency choice.
+    # the shipped Pallas kernel on TPU / XLA loop on CPU. Semantics are
+    # IDENTICAL across backends (sampling_gpu.cu:93-209); this knob is
+    # purely a latency choice. (A FlashFPS-style "pruned" backend was
+    # measured ~2x slower on-chip and retired — attic/fps_pruned.py.)
     fps_backend: str = "auto"
     feat_nei: int = 16
     # WeightNet width per PointConvD level l0..l4 (l0 used only by the

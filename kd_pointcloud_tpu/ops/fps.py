@@ -46,18 +46,14 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
         # it exactly (verified on real hardware, round 2).
         backend = "pallas"
     if backend == "pallas":
+        # NB: a FlashFPS-style pruned variant was built and measured ~2x
+        # SLOWER on-chip (exact FPS is serial-latency-bound, not
+        # distance-compute-bound) — design + numbers in attic/fps_pruned.py.
         from .pallas.fps_pallas import furthest_point_sample_pallas
         return furthest_point_sample_pallas(xyz, npoint)
-    if backend == "pruned":
-        # FlashFPS-style pruning, bit-identical indices (fps_pruned.py).
-        # The pruned layout needs N % 1024 == 0 (folded 128-lane windows);
-        # other shapes fall back to the folded kernel — same indices, so
-        # the choice is invisible to callers.
-        if xyz.shape[1] % 1024 == 0:
-            from .pallas.fps_pruned import furthest_point_sample_pruned
-            return furthest_point_sample_pruned(xyz, npoint)
-        from .pallas.fps_pallas import furthest_point_sample_pallas
-        return furthest_point_sample_pallas(xyz, npoint)
+    if backend != "xla":
+        raise ValueError(f"unknown FPS backend {backend!r} "
+                         "(choices: auto, pallas, xla)")
     return _furthest_point_sample_xla(xyz, npoint)
 
 

@@ -112,13 +112,14 @@ class TestFps:
 
     @pytest.mark.parametrize("restrict_scan", [True, False])
     def test_pruned_kernel_bit_exact(self, rng, restrict_scan):
-        """The pruned FPS kernel (ops/pallas/fps_pruned.py) must select the
-        BIT-IDENTICAL index sequence as reference-semantics FPS: pruning
-        only skips provably no-op min-updates and the argmax/tie-break
-        machinery rides cached per-sub-block maxima + the original-index
-        plane. Interpret mode exercises the full kernel logic on CPU."""
-        from kd_pointcloud_tpu.ops.pallas.fps_pruned import (
-            furthest_point_sample_pruned)
+        """The retired pruned FPS kernel (attic/fps_pruned.py — measured
+        ~2x slower on-chip, kept as a documented negative result) selects
+        the BIT-IDENTICAL index sequence as reference-semantics FPS:
+        pruning only skips provably no-op min-updates and the
+        argmax/tie-break machinery rides cached per-sub-block maxima + the
+        original-index plane. Interpret mode exercises the full kernel
+        logic on CPU; this pin keeps the attic ledger honest."""
+        from attic.fps_pruned import furthest_point_sample_pruned
 
         for B, N, npoint in [(1, 2048, 192), (2, 1024, 160)]:
             # clustered clouds so windows actually prune (uniform noise
@@ -133,11 +134,11 @@ class TestFps:
 
     def test_backend_dispatch_off_tpu(self, rng):
         """Off-TPU every backend routes to the XLA loop (identical indices
-        by construction — the Mosaic kernels are TPU-only), so a config
-        carrying fps_backend='pruned' stays runnable in CPU tests."""
+        by construction — the Mosaic kernels are TPU-only), so any
+        fps_backend choice stays runnable in CPU tests."""
         xyz = rng.randn(2, 96, 3).astype(np.float32)
         want = np.asarray(ops.furthest_point_sample(xyz, 24))
-        for be in ("auto", "pallas", "pruned", "xla"):
+        for be in ("auto", "pallas", "xla"):
             np.testing.assert_array_equal(
                 np.asarray(ops.furthest_point_sample(xyz, 24, backend=be)),
                 want)
