@@ -33,9 +33,15 @@ never re-enters HBM and the copies disappear:
   * dots run at HIGHEST precision (bf16x6 ≈ f32, negligible at these
     sizes) so pooled values track the f32 reference within test tolerance.
 
-Training: gradients flow via jax.custom_vjp whose backward differentiates
-the plain XLA reference formulation (recompute; same math, deterministic
-segment-sum into the gather's VJP upstream).
+Training: gradients flow via jax.custom_vjp. For the production pools
+(single MLP layer — every cross layer builds mlp=(c, c), so mlp[1:] is one
+Dense) the backward is a second Pallas kernel (_bwd_kernel): it recomputes
+h0/h1 per VMEM block at the same HIGHEST dot precision, applies the
+tie-splitting max mask (eq/count — identical to jnp.max's VJP), and emits
+d_g / d_v blocks plus grid-accumulated d_w / d_b, so the (B,K,N,C) grouped
+intermediates never re-enter HBM on the backward either (the XLA recompute
+backward cost ~17.7 ms of the 92 ms bs=3 train step — /tmp/tpuq job 145).
+Deeper MLPs (experimental-only) keep the plain-XLA recompute VJP.
 """
 
 from __future__ import annotations
@@ -175,6 +181,131 @@ def _pool_pallas(g_kmaj, v, ws, bs, co, packed_p=1):
     return out.reshape(B, N, C)
 
 
+def _bwd_kernel(g_ref, v_ref, w1_ref, b_ref, ct_ref,
+                dg_ref, dv_ref, dw_ref, db_ref):
+    """Single-MLP-layer pool backward over one (batch, query-tile) block.
+
+    Recomputes the forward activations in VMEM (leaky' needs only the sign
+    of the pre-activation, which leaky preserves — no saved activations),
+    then walks the chain ct → max mask → Dense → add in place. dw/db map
+    every grid step to the same output block, so they accumulate in VMEM
+    across the whole grid and are written back once.
+    """
+    bi = pl.program_id(0)
+    qi = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(bi == 0, qi == 0))
+    def _init():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    _, K, TQ, Cin = g_ref.shape
+    PC = ct_ref.shape[-1]
+    v = v_ref[0]                                    # (TQ, Cin)
+    h0 = _leaky(g_ref[0] + v[None, :, :])           # (K, TQ, Cin)
+    h0f = h0.reshape(K * TQ, Cin)
+    h1 = _leaky(jnp.dot(h0f, w1_ref[...],
+                        preferred_element_type=jnp.float32,
+                        precision=_HIGHEST) + b_ref[0])
+    h1 = h1.reshape(K, TQ, PC)
+    acc = h1[0]
+    for k in range(1, K):                           # same max as forward
+        acc = jnp.maximum(acc, h1[k])
+    eq = (h1 == acc[None]).astype(jnp.float32)      # (K, TQ, PC)
+    cnt = eq[0]
+    for k in range(1, K):
+        cnt = cnt + eq[k]
+    # jnp.max VJP semantics: cotangent split evenly among ties
+    d_h1 = eq * (ct_ref[0] / cnt)[None]
+    d_p1 = (d_h1 * jnp.where(h1 >= 0, 1.0, 0.1)).reshape(K * TQ, PC)
+    dw_ref[...] = dw_ref[...] + jax.lax.dot_general(
+        h0f, d_p1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HIGHEST)
+    db_ref[...] = db_ref[...] + jnp.sum(d_p1, axis=0)[None, :]
+    d_h0 = jax.lax.dot_general(
+        d_p1, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HIGHEST)
+    d_g = (d_h0 * jnp.where(h0f >= 0, 1.0, 0.1)).reshape(K, TQ, Cin)
+    dg_ref[0] = d_g
+    dv = d_g[0]
+    for k in range(1, K):
+        dv = dv + d_g[k]
+    dv_ref[0] = dv
+
+
+def _pool_bwd_pallas(g_kmaj, v, ws, bs, co, packed_p, ct):
+    """Pallas backward for the single-layer pool. Returns cotangents in the
+    caller's shapes: (d_g like g_kmaj, d_v, (d_w,), (d_b,))."""
+    if packed_p > 1:
+        B, K, Np, Crow = g_kmaj.shape
+        P = packed_p
+        Cg = Crow // P
+        N = Np * P
+        gp = g_kmaj
+    else:
+        B, K, N, Cg = g_kmaj.shape
+        C = v.shape[-1]
+        P = max(1, 128 // C)
+        while N % P != 0:
+            P //= 2
+        gp = g_kmaj.reshape(B, K, N // P, P * Cg)
+    C = v.shape[-1]
+    if co == 0 and Cg == C:
+        v_full = v
+    else:
+        v_full = jnp.zeros(v.shape[:-1] + (Cg,), v.dtype)
+        v_full = jax.lax.dynamic_update_slice_in_dim(v_full, v, co, axis=2)
+    vp = v_full.reshape(B, N // P, P * Cg)
+    w1 = _block_diag(ws[0], P, Cg, co)              # (P·Cg, P·C)
+    b = jnp.tile(bs[0], P)[None, :]                 # (1, P·C)
+    ctp = ct.reshape(B, N // P, P * C)
+
+    Np, Cin, PC = N // P, P * Cg, P * C
+    # the backward holds ~4 g-sized temporaries live (h0, d_h0, d_g, the
+    # block itself) — quarter the forward's block budget
+    tq = _tile_q(Np, K, Cin * 4 * 4)
+    grid = (B, Np // tq)
+
+    dgp, dvp, dwf, dbf = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, K, tq, Cin), lambda bi, qi: (bi, 0, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, Cin), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b
+            pl.BlockSpec((1, tq, PC), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K, tq, Cin), lambda bi, qi: (bi, 0, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, Cin), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cin, PC), lambda bi, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PC), lambda bi, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, K, Np, Cin), jnp.float32),
+            jax.ShapeDtypeStruct((B, Np, Cin), jnp.float32),
+            jax.ShapeDtypeStruct((Cin, PC), jnp.float32),
+            jax.ShapeDtypeStruct((1, PC), jnp.float32),
+        ],
+    )(gp, vp, w1, b, ctp)
+
+    d_g = dgp if packed_p > 1 else dgp.reshape(B, K, N, Cg)
+    d_v = dvp.reshape(B, N, Cg)[..., co:co + C]
+    # fold the block-diagonal weight/bias grads back onto the (C, C) kernel
+    d_w = sum(jax.lax.dynamic_slice(dwf, (p * Cg + co, p * C), (C, C))
+              for p in range(P))
+    d_b = jnp.sum(dbf.reshape(P, C), axis=0)
+    return d_g, d_v, (d_w,), (d_b,)
+
+
 def _unpack(g, packed_p):
     """(B, K, N/P, P·Cg) packed rows → (B, K, N, Cg); pure reshape (row q's
     lane block p IS point q·P+p, matching group_points_kmajor_packed)."""
@@ -194,6 +325,11 @@ def _pool_fwd(g_kmaj, v, ws, bs, co, packed_p):
 
 def _pool_bwd(co, packed_p, res, ct):
     g_kmaj, v, ws, bs = res
+    if len(ws) == 1:
+        # production pools are all single-layer — fused Pallas backward
+        # (_pool_custom is only entered on TPU with f32 inputs, so the
+        # kernel's preconditions hold whenever the forward kernel ran)
+        return _pool_bwd_pallas(g_kmaj, v, ws, bs, co, packed_p, ct)
     gu = _unpack(g_kmaj, packed_p) if packed_p > 1 else g_kmaj
     _, vjp = jax.vjp(
         lambda g, vv, w, b: _pool_ref(g, vv, w, b, co), gu, v, ws, bs)

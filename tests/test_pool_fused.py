@@ -122,3 +122,68 @@ def test_pool_grads_match_plain_formulation():
     np.testing.assert_allclose(gv, gv_o, rtol=1e-5, atol=1e-5)
     for a, o in zip(gws + gbs, gws_o + gbs_o):
         np.testing.assert_allclose(a, o, rtol=2e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("co,Cg,packed", [(0, 32, False), (32, 64, False),
+                                          (0, 32, True), (32, 64, True)])
+def test_pool_bwd_kernel_interpret(co, Cg, packed, monkeypatch):
+    """Fused Pallas backward (_pool_bwd_pallas) vs jax.vjp of the plain XLA
+    formulation, including tied-max queries (duplicate neighbor indices force
+    exact ties; the kernel must split the cotangent like jnp.max's VJP)."""
+    from kd_pointcloud_tpu.ops.pallas import pool_fused
+    import functools
+    orig = pool_fused.pl.pallas_call
+    monkeypatch.setattr(pool_fused.pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    rng = np.random.RandomState(5)
+    u, v, idx, ws, bs = _case(rng, Cg=Cg, layers=1)
+    # force exact pool ties on the first 8 queries: every neighbor identical
+    idx = idx.at[:, :8, :].set(idx[:, :8, :1])
+    B, N, C = v.shape
+    ct = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+
+    if packed:
+        P = 128 // C
+        g = group_points_kmajor_packed(u, idx, P)
+    else:
+        P = 1
+        g = group_points_kmajor(u, idx)
+
+    gu = pool_fused._unpack(g, P) if P > 1 else g
+    _, vjp = jax.vjp(
+        lambda gg, vv, w, b: pool_fused._pool_ref(gg, vv, w, b, co),
+        gu, v, ws, bs)
+    gg_o, gv_o, gws_o, gbs_o = vjp(ct)
+    if P > 1:
+        gg_o = gg_o.reshape(g.shape)
+
+    gg, gv, gws, gbs = pool_fused._pool_bwd_pallas(g, v, ws, bs, co, P, ct)
+    np.testing.assert_allclose(gg, gg_o, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(gv, gv_o, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(gws[0], gws_o[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gbs[0], gbs_o[0], rtol=1e-4, atol=1e-4)
+
+
+def test_pool_custom_vjp_end_to_end_interpret(monkeypatch):
+    """jax.grad through _pool_custom (fwd kernel + bwd kernel) vs the oracle."""
+    from kd_pointcloud_tpu.ops.pallas import pool_fused
+    import functools
+    orig = pool_fused.pl.pallas_call
+    monkeypatch.setattr(pool_fused.pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    rng = np.random.RandomState(6)
+    u, v, idx, ws, bs = _case(rng, Cg=64, layers=1)
+    co = 32
+    g = group_points_kmajor(u, idx)
+
+    def via_kernel(g, v, ws, bs):
+        return jnp.sum(pool_fused._pool_custom(g, v, ws, bs, co, 1) ** 2)
+
+    def via_ref(g, v, ws, bs):
+        return jnp.sum(pool_fused._pool_ref(g, v, ws, bs, co) ** 2)
+
+    got = jax.grad(via_kernel, argnums=(0, 1, 2, 3))(g, v, ws, bs)
+    want = jax.grad(via_ref, argnums=(0, 1, 2, 3))(g, v, ws, bs)
+    for a, o in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(a, o, rtol=1e-4, atol=1e-4)
