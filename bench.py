@@ -41,9 +41,32 @@ MODEL_FLOPS_PER_PAIR = 13.1e9 * 2
 PROTOCOL = "50-dispatch amortized, single sync (remote-tunnel RPC ~30ms/call)"
 
 
+def _wait_for_quiet_host(threshold: float = 1.5, max_wait_s: float = 900.0):
+    """Block until 1-min loadavg < threshold (bounded wait).
+
+    Measured round-3 finding: host CPU contention (e.g. a concurrent pytest
+    suite) balloons per-dispatch host work ~2x (58 vs 110 pairs/s on the
+    same binary) — the dispatch-amortized protocol is only meaningful on a
+    quiet host. If the host never quiets down we proceed anyway and stamp
+    the loadavg into the JSON lines.
+    """
+    import os
+    deadline = time.time() + max_wait_s
+    load = os.getloadavg()[0]
+    while load >= threshold and time.time() < deadline:
+        print(json.dumps({"event": "waiting_for_quiet_host",
+                          "loadavg_1m": round(load, 2),
+                          "threshold": threshold}), flush=True)
+        time.sleep(15.0)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    host_load = _wait_for_quiet_host()
 
     from kd_pointcloud_tpu.data import KITTI, ProcessData
     from kd_pointcloud_tpu.models import PRESETS, BidPointFlowNet
@@ -145,6 +168,7 @@ def main():
         "value": round(pairs_per_s, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 2),
+        "loadavg_1m": round(host_load, 2),
         "protocol": PROTOCOL,
     }))
 
@@ -201,6 +225,7 @@ def main():
                       "at l2/l3; teacher params)",
             "metric_deltas": "selftest_tpu --metrics records six-metric "
                              "deltas vs exact on bundled KITTI",
+            "loadavg_1m": round(host_load, 2),
             "protocol": PROTOCOL,
         }))
     except Exception as e:  # pragma: no cover
