@@ -66,6 +66,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache: repeat runs skip remote cold compiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_kdpc")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     host_load = _wait_for_quiet_host()
 
     from kd_pointcloud_tpu.data import KITTI, ProcessData
