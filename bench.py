@@ -122,39 +122,117 @@ def main():
     dt = (time.time() - t0) / N
     pairs_per_s = 1.0 / dt
 
-    # ---- train-step throughput (bs=3, the reference training batch size)
-    train_line = None
-    try:
-        bs = 3
-        b3 = tuple(jnp.concatenate([x] * bs) for x in batches[0])
-        batch = dict(pos1=b3[0], pos2=b3[1], norm1=b3[2], norm2=b3[3],
-                     flow=jnp.zeros_like(b3[0]))
-        v3 = jax.jit(lambda k: model.init(k, *b3, train=False))(
-            jax.random.PRNGKey(0))
-        tx = make_optimizer(1e-3)
-        state = TrainState.create(v3, tx)
-        step = make_train_step(model, tx, donate=False)
+    # ---- train-step throughput (bs=3, the reference training batch size,
+    # train_bid_pointconv.py:138) with a SELF-MEASURED target: the bs=1
+    # step timed in the same run defines the perfect-batch-scaling bound
+    # (3 pairs in the time of one bs=1 step x1); vs_target is the fraction
+    # of that bound achieved. The reference publishes no train timing
+    # (SURVEY.md §6), so the target is floor-based, not baseline-based
+    # (VERDICT r3 #6). The known wall is the batched row-gather penalty
+    # (ops/gather.py module docstring; round-3 ledger job 111b: bs=3 step
+    # 84.3 ms ~= value_and_grad 78 ms — gathers/FPS/pool-bwd shares ~2.0 /
+    # ~2.3 / ~1.4 ms of the bs=1 forward's 9.1 ms, scaling superlinearly
+    # with batch).
+    def timed_steps(step, state, batch, m):
         state, loss = step(state, batch)
-        float(loss)
-        M = 15
+        float(loss)                      # compile + settle
         t0 = time.time()
-        for _ in range(M):
+        for _ in range(m):
             state, loss = step(state, batch)
         float(loss)
-        step_dt = (time.time() - t0) / M
-        train_line = {
+        return (time.time() - t0) / m
+
+    def make_train_batch(bs):
+        bb = tuple(jnp.concatenate([x] * bs) for x in batches[0])
+        return dict(pos1=bb[0], pos2=bb[1], norm1=bb[2], norm2=bb[3],
+                    flow=jnp.zeros_like(bb[0]))
+
+    try:
+        tx = make_optimizer(1e-3)
+        b3 = make_train_batch(3)
+        v3 = jax.jit(lambda k: model.init(
+            k, b3["pos1"], b3["pos2"], b3["norm1"], b3["norm2"],
+            train=False))(jax.random.PRNGKey(0))
+        step = make_train_step(model, tx, donate=False)
+        dt1 = timed_steps(step, TrainState.create(v3, tx),
+                          make_train_batch(1), 15)
+        dt3 = timed_steps(step, TrainState.create(v3, tx), b3, 15)
+        target_pairs = 3 / dt1           # perfect scaling from the bs=1 step
+        print(json.dumps({
             "metric": "teacher_train_step_bs3",
-            "value": round(1.0 / step_dt, 2),
+            "value": round(1.0 / dt3, 2),
             "unit": "steps/sec",
             "vs_baseline": None,   # the reference publishes no train timing
-            "pairs_per_sec": round(bs / step_dt, 2),
+            "pairs_per_sec": round(3 / dt3, 2),
+            "bs1_step_ms": round(dt1 * 1e3, 2),
+            "target_pairs_per_sec": round(target_pairs, 2),
+            "vs_target": round((3 / dt3) / target_pairs, 3),
+            "target_basis": "perfect batch scaling of the same-run bs=1 "
+                            "step (floor-based; no reference train timing)",
             "protocol": "15-dispatch amortized, single sync",
-        }
+        }))
     except Exception as e:  # pragma: no cover - train bench is best-effort
-        train_line = {"metric": "teacher_train_step_bs3", "error": str(e)[:200]}
+        print(json.dumps({"metric": "teacher_train_step_bs3",
+                          "error": str(e)[:200]}))
 
-    if train_line is not None:
-        print(json.dumps(train_line))
+    # ---- FULL KD step (bs=8, config_train_kd_pointconv.yaml batch size):
+    # frozen-teacher forward + student grad + Adam update in ONE jitted
+    # step (train/distill.py make_distill_step with the shipped
+    # biDirection_loss_ht) — the measured number ADVICE r3 #1 asked for in
+    # place of the composed ~304 ms estimate. Same self-measured
+    # perfect-scaling target from a bs=1 KD step.
+    try:
+        from kd_pointcloud_tpu.train import make_distill_step
+        from kd_pointcloud_tpu.train.distill_experiment import make_named_loss
+
+        s_model = BidPointFlowNet(PRESETS["student"])
+        b8 = make_train_batch(8)
+        sv = jax.jit(lambda k: s_model.init(
+            k, b8["pos1"], b8["pos2"], b8["norm1"], b8["norm2"],
+            train=False))(jax.random.PRNGKey(1))
+        named = make_named_loss("biDirection_loss_ht",
+                                {"gamma": 0.3, "beta": 0.8,
+                                 "hint_layers": [3]})
+        kd_step = make_distill_step(
+            model, s_model, tx,
+            loss_fn=lambda s_out, t_out, b: named(s_out, t_out, b))
+
+        def timed_kd(bs, m):
+            b = make_train_batch(bs)
+            # fresh leaf copies: the KD step donates its state, so the init
+            # tree must not be shared across arms
+            st = TrainState.create(
+                jax.tree_util.tree_map(jnp.copy, sv), tx)
+            st, loss = kd_step(st, variables, b)
+            float(loss)
+            t0 = time.time()
+            for _ in range(m):
+                st, loss = kd_step(st, variables, b)
+            float(loss)
+            return (time.time() - t0) / m
+
+        kdt1 = timed_kd(1, 10)
+        kdt8 = timed_kd(8, 10)
+        print(json.dumps({
+            "metric": "kd_full_step_bs8",
+            "value": round(kdt8 * 1e3, 1),
+            "unit": "ms/step",
+            "vs_baseline": None,   # the reference publishes no KD timing
+            "pairs_per_sec": round(8 / kdt8, 2),
+            "bs1_step_ms": round(kdt1 * 1e3, 2),
+            "target_step_ms": round(kdt1 * 1e3 * 8, 1),
+            "vs_target": round((kdt1 * 8) / kdt8, 3),
+            "target_basis": "perfect batch scaling of the same-run bs=1 "
+                            "full KD step (teacher fwd + student grad + "
+                            "Adam in one jit)",
+            "config": "teacher->student presets, biDirection_loss_ht "
+                      "(gamma .3, beta .8, hint l3), bs=8 "
+                      "(config_train_kd_pointconv.yaml)",
+            "protocol": "10-dispatch amortized, single sync",
+        }))
+    except Exception as e:  # pragma: no cover - KD bench is best-effort
+        print(json.dumps({"metric": "kd_full_step_bs8",
+                          "error": str(e)[:200]}))
     print(json.dumps({
         "metric": "teacher_eval_mfu",
         "value": round(MODEL_FLOPS_PER_PAIR * pairs_per_s / V5E_PEAK_F32_FLOPS, 4),

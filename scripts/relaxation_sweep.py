@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Trained-regime relaxation sweep: six-metric deltas AND throughput per
+candidate serving config, in one quiet-host job.
+
+Round-4 motivation: the serving preset's band license must hold on trained
+weights (VERDICT r3 #2). If (16,16,32,32) falls out of band in the accurate-
+flow regime, this sweep finds the fastest candidate that stays in band —
+each variant gets (a) six-metric deltas vs the exact path on the first
+--scenes bundled-KITTI scenes and (b) bs=1 dispatch-amortized throughput,
+so the speed/accuracy frontier is read off one JSON line.
+
+Usage: python scripts/relaxation_sweep.py [--ckpt PATH] [--scenes N]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+
+import numpy as np
+
+from evidence_data import load_msgpack_tree
+
+DEFAULT_CKPT = "/tmp/kdpc_train_parity/semitrained_teacher.msgpack"
+
+# thresholds mirror tests/test_eval_parity.py::TestProductionPathMetrics
+BAND = (1e-3, 3e-3, 3e-3, 3e-3, 5e-2, 3e-3)
+
+
+def in_band(d):
+    return bool(all(abs(x) <= b for x, b in zip(d, BAND)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from kd_pointcloud_tpu.data import KITTI, ProcessData
+    from kd_pointcloud_tpu.eval.geometry import get_batch_2d_flow
+    from kd_pointcloud_tpu.eval.metrics import evaluate_2d, evaluate_3d
+    from kd_pointcloud_tpu.models import PRESETS, BidPointFlowNet
+
+    def _arg(flag, default):
+        return (sys.argv[sys.argv.index(flag) + 1]
+                if flag in sys.argv else default)
+
+    ckpt = _arg("--ckpt", DEFAULT_CKPT)
+    n_scenes = int(_arg("--scenes", 50))
+    if ckpt.endswith(".msgpack"):
+        params, stats = load_msgpack_tree(ckpt)
+    else:
+        from kd_pointcloud_tpu.models.torch_import import \
+            load_torch_checkpoint
+        params, stats = load_torch_checkpoint(ckpt)
+    variables = {"params": params, "batch_stats": stats}
+
+    ds = KITTI(train=False, transform=ProcessData(num_points=8192))
+    scenes = []
+    for i in range(n_scenes):
+        pc1s, pc2s, _, _, sf, path = ds[i]
+        scenes.append((pc1s, pc2s, sf, path))
+
+    teacher = PRESETS["teacher"]
+    variants = [
+        ("exact", dataclasses.replace(teacher, knn_method="exact",
+                                      knn_precision="highest")),
+        ("production", teacher),
+        ("serving_16_16", PRESETS["serving"]),
+        ("l0only_16", dataclasses.replace(
+            teacher, flow_nei_per_level=(16, 32, 32, 32))),
+        ("k24_24", dataclasses.replace(
+            teacher, flow_nei_per_level=(24, 24, 32, 32))),
+        ("serving_fps8", dataclasses.replace(
+            PRESETS["serving"], fps_blocks=8)),
+    ]
+
+    out = {"ckpt": ckpt, "n_scenes": n_scenes, "variants": {}}
+    means = {}
+    for name, cfg in variants:
+        model = BidPointFlowNet(cfg)
+        fwd = jax.jit(lambda vv, a, b, mm=model: mm.apply(
+            vv, a, b, a, b, train=False)["flows"][0])
+        rows = []
+        for pc1s, pc2s, sf, path in scenes:
+            pred = np.asarray(fwd(variables, jnp.asarray(pc1s[None]),
+                                  jnp.asarray(pc2s[None])))[0]
+            epe3d, a3s, a3r, outl = evaluate_3d(pred, sf)
+            f2d_pred, f2d_gt = get_batch_2d_flow(
+                pc1s[None], (pc1s + sf)[None], (pc1s + pred)[None], [path])
+            epe2d, a2d = evaluate_2d(f2d_pred[0], f2d_gt[0])
+            rows.append([epe3d, a3s, a3r, outl, epe2d, a2d])
+        means[name] = np.mean(np.asarray(rows), axis=0)
+
+        # bs=1 dispatch-amortized throughput (bench.py protocol: pre-staged
+        # device inputs, back-to-back dispatches, single sync)
+        staged = [(jnp.asarray(s[0][None]), jnp.asarray(s[1][None]))
+                  for s in scenes[:8]]
+        float(jnp.sum(fwd(variables, *staged[0])))
+        N = 30
+        t0 = time.time()
+        r = None
+        for i in range(N):
+            r = fwd(variables, *staged[i % len(staged)])
+        float(jnp.sum(r))
+        pairs = N / (time.time() - t0)
+
+        entry = {"pairs_per_sec_bs1": round(pairs, 2),
+                 "metrics": [round(float(x), 5) for x in means[name]]}
+        if name != "exact":
+            d = means[name] - means["exact"]
+            entry["deltas_vs_exact"] = [round(float(x), 6) for x in d]
+            entry["in_band"] = in_band(d)
+        out["variants"][name] = entry
+        print(json.dumps({name: entry}), flush=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

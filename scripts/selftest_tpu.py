@@ -159,12 +159,23 @@ def main():
                 ok = False
 
     # ---- optional: SIX-METRIC parity of the production approx path vs the
-    # exact path on real hardware (VERDICT r2 #3). Needs the eval-parity
-    # fixture weights (tests/make_eval_parity_fixture.py output) so both
-    # paths run a real trained-shape model; thresholds mirror
+    # exact path on real hardware (VERDICT r2 #3, re-licensed on TRAINED
+    # weights per VERDICT r3 #2). Thresholds mirror
     # tests/test_eval_parity.py::TestProductionPathMetrics.
+    #
+    #   --ckpt PATH     teacher-tree weights (.pth state_dict or flax
+    #                   .msgpack); default prefers the semi-trained overfit
+    #                   checkpoint (tests/make_train_parity_fixture.py
+    #                   `overfit` mode — EPE3D ~0.07 regime) over the legacy
+    #                   random-init fixture (EPE3D ~0.66 regime).
+    #   --scenes N      bundled-KITTI scene count (default 50)
+    #   --fg            also sweep the FG family (feature-space kNN — the
+    #                   approx path's hardest case, VERDICT r3 #5) with
+    #                   --fg-ckpt weights (flax .msgpack; falls back to a
+    #                   seeded random init, labeled in the output)
     if "--metrics" in sys.argv:
         import dataclasses
+        import os.path as osp
 
         from kd_pointcloud_tpu.data import KITTI, ProcessData
         from kd_pointcloud_tpu.eval.geometry import get_batch_2d_flow
@@ -172,52 +183,123 @@ def main():
         from kd_pointcloud_tpu.models import PRESETS, BidPointFlowNet
         from kd_pointcloud_tpu.models.torch_import import load_torch_checkpoint
 
-        sd_path = "/tmp/kdpc_eval_parity/ref_eval_random.pth"
-        n_scenes = 50
-        params, stats = load_torch_checkpoint(sd_path)
+        def _arg(flag, default):
+            return (sys.argv[sys.argv.index(flag) + 1]
+                    if flag in sys.argv else default)
+
+        def _load_tree(path):
+            if path.endswith(".msgpack"):
+                import flax
+                with open(path, "rb") as fd:
+                    tree = flax.serialization.msgpack_restore(fd.read())
+                return tree["params"], tree["batch_stats"]
+            return load_torch_checkpoint(path)
+
+        # checkpoint preference: the GENERALIZING semitrained tree (scripts/
+        # train_semitrained.py — accurate flows on the sweep scenes, the
+        # regime that licenses approximations), then the 16-scene overfit
+        # fixture (round-4 finding: its sweep-scene EPE3D ~0.73 is no more
+        # "trained regime" than random init), then random init.
+        candidates = ("/tmp/kdpc_train_parity/semitrained_teacher.msgpack",
+                      "/tmp/kdpc_train_parity/overfit_final.pth",
+                      "/tmp/kdpc_eval_parity/ref_eval_random.pth")
+        sd_path = _arg("--ckpt", next((c for c in candidates
+                                       if osp.exists(c)), candidates[-1]))
+        n_scenes = int(_arg("--scenes", 50))
+        params, stats = _load_tree(sd_path)
+        results["metrics_ckpt"] = sd_path
         ds = KITTI(train=False, transform=ProcessData(num_points=8192))
         scenes = []
         for i in range(n_scenes):
             pc1s, pc2s, _, _, sf, path = ds[i]
             scenes.append((pc1s, pc2s, sf, path))
 
-        means = {}
-        for name, cfg in (
-                ("exact", dataclasses.replace(PRESETS["teacher"],
-                                              knn_method="exact",
-                                              knn_precision="highest")),
-                ("production", PRESETS["teacher"]),
-                # serving preset (l0/l1 cost-volume K=16): same param tree — the
-                # quantified-relaxation config whose deltas license the
-                # serving BENCH headline
-                ("serving", PRESETS["serving"])):
-            model = BidPointFlowNet(cfg)
-            fwd = jax.jit(lambda vv, a, b, mm=model: mm.apply(
-                vv, a, b, a, b, train=False)["flows"][0])
-            rows = []
-            for pc1s, pc2s, sf, path in scenes:
-                pred = np.asarray(fwd(
-                    {"params": params, "batch_stats": stats},
-                    jnp.asarray(pc1s[None]), jnp.asarray(pc2s[None])))[0]
-                epe3d, a3s, a3r, outl = evaluate_3d(pred, sf)
-                f2d_pred, f2d_gt = get_batch_2d_flow(
-                    pc1s[None], (pc1s + sf)[None], (pc1s + pred)[None],
-                    [path])
-                epe2d, a2d = evaluate_2d(f2d_pred[0], f2d_gt[0])
-                rows.append([epe3d, a3s, a3r, outl, epe2d, a2d])
-            means[name] = np.mean(np.asarray(rows), axis=0)
+        def _sweep(variants, params, stats):
+            means = {}
+            for name, cfg in variants:
+                model = BidPointFlowNet(cfg)
+                fwd = jax.jit(lambda vv, a, b, mm=model: mm.apply(
+                    vv, a, b, a, b, train=False)["flows"][0])
+                rows = []
+                for pc1s, pc2s, sf, path in scenes:
+                    pred = fwd({"params": params, "batch_stats": stats},
+                               jnp.asarray(pc1s[None]),
+                               jnp.asarray(pc2s[None]))
+                    pred = np.asarray(pred[-1] if isinstance(pred, list)
+                                      else pred)[0]
+                    epe3d, a3s, a3r, outl = evaluate_3d(pred, sf)
+                    f2d_pred, f2d_gt = get_batch_2d_flow(
+                        pc1s[None], (pc1s + sf)[None], (pc1s + pred)[None],
+                        [path])
+                    epe2d, a2d = evaluate_2d(f2d_pred[0], f2d_gt[0])
+                    rows.append([epe3d, a3s, a3r, outl, epe2d, a2d])
+                means[name] = np.mean(np.asarray(rows), axis=0)
+            return means
+
+        def _in_band(d):
+            return bool(abs(d[0]) <= 1e-3 and abs(d[1]) <= 3e-3
+                        and abs(d[2]) <= 3e-3 and abs(d[3]) <= 3e-3
+                        and abs(d[4]) <= 5e-2 and abs(d[5]) <= 3e-3)
+
+        means = _sweep((
+            ("exact", dataclasses.replace(PRESETS["teacher"],
+                                          knn_method="exact",
+                                          knn_precision="highest")),
+            ("production", PRESETS["teacher"]),
+            # serving preset (l0/l1 cost-volume K=16): same param tree — the
+            # quantified-relaxation config whose deltas license the serving
+            # BENCH headline
+            ("serving", PRESETS["serving"]),
+            # fps_blocks=8: the serial-FPS relaxation whose band ruling was
+            # pending trained weights (models/config.py:122-129)
+            ("fps_blocks8", dataclasses.replace(PRESETS["serving"],
+                                                fps_blocks=8)),
+        ), params, stats)
         results["metrics_exact"] = [round(float(x), 5)
                                     for x in means["exact"]]
         metrics_ok = True
-        for variant in ("production", "serving"):
+        for variant in ("production", "serving", "fps_blocks8"):
             d = means[variant] - means["exact"]
             results[f"metric_deltas_{variant}_minus_exact"] = [
                 round(float(x), 6) for x in d]
-            v_ok = bool(abs(d[0]) <= 1e-3 and abs(d[1]) <= 3e-3
-                        and abs(d[2]) <= 3e-3 and abs(d[3]) <= 3e-3
-                        and abs(d[4]) <= 5e-2 and abs(d[5]) <= 3e-3)
+            v_ok = _in_band(d)
             results[f"metrics_ok_{variant}"] = v_ok
-            metrics_ok = metrics_ok and v_ok
+            if variant != "fps_blocks8":     # ruling knob, not a default
+                metrics_ok = metrics_ok and v_ok
+
+        if "--fg" in sys.argv:
+            fg_default = "/tmp/kdpc_train_parity/semitrained_fg.msgpack"
+            if not osp.exists(fg_default):
+                fg_default = "/tmp/kdpc_train_parity/overfit_jax_fg.msgpack"
+            fg_path = _arg("--fg-ckpt", fg_default)
+            for preset in ("fg", "bifeat"):
+                p = fg_path.replace("_fg.", f"_{preset}.")
+                if osp.exists(p):
+                    fg_params, fg_stats = _load_tree(p)
+                    results[f"metrics_{preset}_ckpt"] = p
+                else:
+                    m = BidPointFlowNet(PRESETS[preset])
+                    pc1s = scenes[0][0]
+                    v = jax.jit(lambda k, mm=m: mm.init(
+                        k, jnp.asarray(pc1s[None]), jnp.asarray(pc1s[None]),
+                        jnp.asarray(pc1s[None]), jnp.asarray(pc1s[None]),
+                        train=False))(jax.random.PRNGKey(0))
+                    fg_params, fg_stats = v["params"], v["batch_stats"]
+                    results[f"metrics_{preset}_ckpt"] = "random-init"
+                fmeans = _sweep((
+                    ("exact", dataclasses.replace(PRESETS[preset],
+                                                  knn_method="exact",
+                                                  knn_precision="highest")),
+                    ("production", PRESETS[preset])), fg_params, fg_stats)
+                d = fmeans["production"] - fmeans["exact"]
+                results[f"metrics_{preset}_exact"] = [
+                    round(float(x), 5) for x in fmeans["exact"]]
+                results[f"metric_deltas_{preset}_minus_exact"] = [
+                    round(float(x), 6) for x in d]
+                v_ok = _in_band(d)
+                results[f"metrics_ok_{preset}"] = v_ok
+                metrics_ok = metrics_ok and v_ok
+
         results["metrics_ok"] = metrics_ok
         ok = ok and metrics_ok
 

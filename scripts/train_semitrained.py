@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Train a GENERALIZING semi-trained checkpoint on the bundled KITTI scenes.
+
+Why this exists (round-4 finding): the 16-scene/400-step overfit checkpoint
+(tests/make_train_parity_fixture.py `overfit` mode) descends to train-mode
+EPE ~0.07 on its own batches but scores EPE3D ~0.73 on the 50-scene eval
+sweep — as far from the reference's trained regime (0.031) as the random
+init it was meant to replace. Approximation licensing (VERDICT r3 #2) needs
+metric deltas measured where the model's flows are ACCURATE, because error
+cascades through warp/upsample scale with flow error.
+
+Protocol:
+  * data    = the 142 mapped bundled-KITTI scenes (the repo's only shipped
+    real data; eval-style prep, transforms/transforms.py:137-203 semantics);
+  * train   on scenes 0..99, fresh 8192-point resample every visit;
+  * held-out = scenes 100..141, fixed seeded prep — generalization signal
+    for the KD-effectiveness experiments (scripts/kd_effectiveness.py);
+  * train-subset eval on scenes 0..49 with the SAME fixed prep the metric
+    sweep uses (scripts/selftest_tpu.py --metrics evaluates KITTI
+    train=False scenes 0..N) — this is the accurate-flow regime that
+    licenses the approx/serving bands;
+  * Adam(lr 1e-3, wd 1e-4) with lr halved at 50% / 75% of the horizon
+    (train_bid_pointconv.py:117-124 optimizer semantics; StepLR's epoch-100
+    boundary never lands inside a short horizon, so the halvings stand in
+    for it).
+
+Writes to the fixture dir (/tmp/kdpc_train_parity):
+  semitrained_<preset>.msgpack        best-held-out {params, batch_stats}
+  semitrained_<preset>_final.msgpack  final-step tree
+  semitrained_<preset>_curve.npz      step losses + eval curves
+
+Usage: python scripts/train_semitrained.py [preset] [--steps N] [--bs B]
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+
+import numpy as np
+
+from evidence_data import (EVAL_BS, N_POINTS, N_TRAIN_SCENES,
+                           build_scene_bank, make_batches, mean_epe)
+
+FIXTURE_DIR = "/tmp/kdpc_train_parity"
+TRAINSUB_SCENES = 50  # scenes 0..49 — the metric sweep's scene set
+
+
+def main():
+    import flax
+    import jax
+
+    from kd_pointcloud_tpu.data import KITTI, ProcessData
+    from kd_pointcloud_tpu.models import PRESETS, BidPointFlowNet
+    from kd_pointcloud_tpu.train import (TrainState, make_eval_step,
+                                         make_optimizer, make_train_step,
+                                         set_learning_rate)
+
+    preset = next((a for a in sys.argv[1:] if not a.startswith("--")),
+                  "teacher")
+    n_steps = (int(sys.argv[sys.argv.index("--steps") + 1])
+               if "--steps" in sys.argv else 6000)
+    bs = (int(sys.argv[sys.argv.index("--bs") + 1])
+          if "--bs" in sys.argv else 4)
+    eval_every = max(200, n_steps // 12)
+
+    ds = KITTI(train=False, transform=ProcessData(num_points=N_POINTS))
+    n_scenes = len(ds)
+    train_ids = list(range(N_TRAIN_SCENES))
+    held_ids = list(range(N_TRAIN_SCENES, n_scenes))
+    bank = build_scene_bank(ds, range(n_scenes))
+
+    # fixed seeded eval preps: held-out generalization + train-subset
+    # (accurate-flow regime, the metric sweep's scenes)
+    eval_rng = np.random.default_rng(11)
+    held_batches = make_batches(bank, held_ids, eval_rng, EVAL_BS)
+    trainsub_batches = make_batches(bank, list(range(TRAINSUB_SCENES)),
+                                    np.random.default_rng(12), EVAL_BS)
+
+    model = BidPointFlowNet(PRESETS[preset])
+    b0 = make_batches(bank, train_ids[:bs], np.random.default_rng(0), bs)[0]
+    variables = jax.jit(lambda k: model.init(
+        k, b0["pos1"], b0["pos2"], b0["norm1"], b0["norm2"],
+        train=False))(jax.random.PRNGKey(0))
+    tx = make_optimizer(1e-3, 1e-4)
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(model, tx)
+    eval_step = make_eval_step(model)
+
+    print(f"backend={jax.default_backend()} preset={preset} steps={n_steps} "
+          f"bs={bs} train_scenes={len(train_ids)} held={len(held_ids)}",
+          flush=True)
+
+    train_rng = np.random.default_rng(7)
+    losses, held_curve, trainsub_curve = [], [], []
+    best = (float("inf"), None)
+    queue = []
+    for step_i in range(n_steps):
+        if not queue:
+            order = train_rng.permutation(train_ids)
+            queue = make_batches(bank, list(order), train_rng, bs)
+        state, loss = train_step(state, queue.pop())
+        losses.append(float(loss))
+        if step_i == int(n_steps * 0.5) or step_i == int(n_steps * 0.75):
+            state = state.replace(opt_state=set_learning_rate(
+                state.opt_state,
+                float(state.opt_state.hyperparams["lr"]) * 0.5))
+            print(f"step {step_i}: lr halved", flush=True)
+        if (step_i + 1) % eval_every == 0 or step_i == n_steps - 1:
+            held = mean_epe(eval_step, state.variables, held_batches)
+            tsub = mean_epe(eval_step, state.variables, trainsub_batches)
+            held_curve.append((step_i + 1, held))
+            trainsub_curve.append((step_i + 1, tsub))
+            print(f"step {step_i + 1}: loss {losses[-1]:.3f} "
+                  f"held-out epe {held:.4f} train-sub epe {tsub:.4f}",
+                  flush=True)
+            if held < best[0]:
+                tree = {"params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats)}
+                best = (held, flax.serialization.to_bytes(tree))
+
+    with open(osp.join(FIXTURE_DIR, f"semitrained_{preset}.msgpack"),
+              "wb") as fd:
+        fd.write(best[1])
+    final_tree = {"params": jax.device_get(state.params),
+                  "batch_stats": jax.device_get(state.batch_stats)}
+    with open(osp.join(FIXTURE_DIR, f"semitrained_{preset}_final.msgpack"),
+              "wb") as fd:
+        fd.write(flax.serialization.to_bytes(final_tree))
+    np.savez(osp.join(FIXTURE_DIR, f"semitrained_{preset}_curve.npz"),
+             losses=np.asarray(losses, np.float64),
+             held=np.asarray(held_curve, np.float64),
+             trainsub=np.asarray(trainsub_curve, np.float64))
+    print(f"done: best held-out epe {best[0]:.4f}; final train-sub epe "
+          f"{trainsub_curve[-1][1]:.4f} -> semitrained_{preset}.msgpack",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

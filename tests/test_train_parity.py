@@ -44,12 +44,14 @@ REFERENCE_AVAILABLE = osp.isdir("/root/reference")
 
 FILES = ("init.pth", "grads.pth", "after1.pth", "afterN.pth", "train.npz")
 EXTRA_FILES = ("grads64.pth", "selfdiv.npz")
+OVERFIT_FILES = ("overfit.npz", "overfit_init.pth", "overfit_final.pth",
+                 "overfit_selfdiv.npz")
 
 
-def _gen(args):
+def _gen(args, timeout=3600):
     gen = osp.join(osp.dirname(__file__), "make_train_parity_fixture.py")
     r = subprocess.run([sys.executable, gen] + args,
-                       capture_output=True, text=True, timeout=3600,
+                       capture_output=True, text=True, timeout=timeout,
                        cwd=osp.dirname(__file__))
     if r.returncode != 0:
         print(r.stdout[-2000:], r.stderr[-2000:])
@@ -277,3 +279,106 @@ class TestTrainParity:
         # measured 2.8e-3 — 20 chaotic steps of drift, same scale as the
         # torch self-divergence control
         assert med < 2e-2, f"median final-param rel {med}"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REFERENCE_AVAILABLE,
+                    reason="reference checkout not present")
+class TestConvergenceParity:
+    """Training CONVERGES to the reference trainer's regime (VERDICT r3 #1).
+
+    The overfit fixture (make_train_parity_fixture.py `overfit` mode) runs
+    400 steps of the actual reference trainer over 8 fixed bundled-KITTI
+    batches — deep enough that the loss descends ~20x and the train-mode l0
+    EPE3D lands in the few-cm regime — plus a control run whose init is
+    perturbed by 1 ulp (torch's own chaotic self-divergence, the envelope
+    any f32 reimplementation is judged against; per-step trajectories are
+    NOT comparable pointwise at this horizon, regimes are).
+
+    This class reruns the same 400-step horizon here and asserts:
+      * step 1 matches at rounding scale (pre-divergence);
+      * the loss descends as deep as the reference's (tail-mean ratio);
+      * the descended regime tracks inside the control envelope for both
+        loss and EPE3D.
+
+    Cost warning: if the fixture is absent it is generated first — 2 x 400
+    reference torch CPU steps, ~2.5 h on one core. Our own 400-step run is
+    reused from scripts/overfit_convergence.py's chip-run artifact
+    (overfit_jax.npz) when present; set KDPC_CONVERGENCE_RECOMPUTE=1 to
+    force a fresh CPU run here (which also exports the semi-trained tree to
+    overfit_jax_cpu_final.msgpack as a downstream fixture).
+    """
+
+    TAIL = 50   # regime = mean over the last TAIL steps (chaos-robust)
+
+    @pytest.fixture(scope="class")
+    def traj(self):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        if not all(osp.exists(osp.join(FIXTURE_DIR, f))
+                   for f in OVERFIT_FILES):
+            assert _gen([FIXTURE_DIR, "overfit"], timeout=8 * 3600), \
+                "could not build overfit fixture (hours-long torch run)"
+        z = np.load(osp.join(FIXTURE_DIR, "overfit.npz"))
+        zc = np.load(osp.join(FIXTURE_DIR, "overfit_selfdiv.npz"))
+
+        ours_path = osp.join(FIXTURE_DIR, "overfit_jax.npz")
+        if (osp.exists(ours_path)
+                and not os.environ.get("KDPC_CONVERGENCE_RECOMPUTE")):
+            zj = np.load(ours_path)
+            losses, epes = zj["losses"], zj["epes"]
+        else:
+            import flax
+
+            from kd_pointcloud_tpu.models.torch_import import \
+                load_torch_checkpoint
+            from kd_pointcloud_tpu.train.overfit import (
+                load_overfit_batches, run_trajectory)
+
+            batches = load_overfit_batches(
+                osp.join(FIXTURE_DIR, "overfit.npz"))
+            params, stats = load_torch_checkpoint(
+                osp.join(FIXTURE_DIR, "overfit_init.pth"))
+            losses, epes, state = run_trajectory(
+                _model(), params, stats, batches, int(z["n_steps"]))
+            blob = flax.serialization.to_bytes(
+                {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)})
+            with open(osp.join(FIXTURE_DIR,
+                               "overfit_jax_cpu_final.msgpack"), "wb") as fd:
+                fd.write(blob)
+        return dict(ours_l=losses, ours_e=epes,
+                    torch_l=z["losses"], torch_e=z["epes"],
+                    ctrl_l=zc["losses"], ctrl_e=zc["epes"])
+
+    def _tail(self, a):
+        return float(np.mean(a[-self.TAIL:]))
+
+    def test_step1_predivergence(self, traj):
+        # pre-divergence rounding scale: 1.18e-5 measured on-chip (TPU
+        # matmul reduction order differs from torch CPU); CPU runs land
+        # ~1e-6. 1e-4 keeps both backends while still catching math bugs.
+        rel = abs(traj["ours_l"][0] - traj["torch_l"][0]) / traj["torch_l"][0]
+        assert rel < 1e-4, f"step-1 loss rel {rel}"
+
+    def test_loss_descends_to_reference_depth(self, traj):
+        ours0, ours_t = traj["ours_l"][0], self._tail(traj["ours_l"])
+        torch_t = self._tail(traj["torch_l"])
+        assert ours_t < ours0 / 5, f"loss only descended x{ours0 / ours_t:.1f}"
+        # regime parity: tail-mean loss within the control's own regime
+        # band around the torch run (factor covers two chaotic runs)
+        ctrl_t = self._tail(traj["ctrl_l"])
+        ctrl_dev = abs(ctrl_t - torch_t) / torch_t
+        ours_dev = abs(ours_t - torch_t) / torch_t
+        assert ours_dev < max(5 * ctrl_dev, 0.30), (
+            f"tail loss {ours_t:.3f} vs torch {torch_t:.3f} "
+            f"(dev {ours_dev:.3f}, control dev {ctrl_dev:.3f})")
+
+    def test_epe_reaches_trained_regime(self, traj):
+        ours_e, torch_e = self._tail(traj["ours_e"]), self._tail(
+            traj["torch_e"])
+        ctrl_e = self._tail(traj["ctrl_e"])
+        # the descended regime: torch reaches ~0.07 from 1.57 at init
+        assert ours_e < 0.15, f"tail EPE3D {ours_e} not in trained regime"
+        assert abs(ours_e - torch_e) < max(5 * abs(ctrl_e - torch_e), 0.05), (
+            f"tail EPE3D {ours_e:.4f} vs torch {torch_e:.4f} "
+            f"(control {ctrl_e:.4f})")
