@@ -24,8 +24,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fps_kernel_folded(npoint: int, B: int, unroll: int, x_ref, y_ref, z_ref,
-                       idx_ref, temp_ref):
+def _fps_kernel_folded(npoint: int, B: int, unroll: int, payload: bool,
+                       x_ref, y_ref, z_ref, idx_ref, temp_ref):
     """Folded STRIDED layout: cloud b occupies sublane rows ≡ b (mod B);
     point p of cloud b lives at (p//L · B + b, p%L). Full-sublane occupancy
     makes every (R, L) pass 8× cheaper than the (B, N) layout (B eval-time
@@ -59,6 +59,27 @@ def _fps_kernel_folded(npoint: int, B: int, unroll: int, x_ref, y_ref, z_ref,
             v = op(v, pltpu.roll(v, R - s, axis=0))
         return v[:, :w]
 
+    def pad128(v):
+        return jnp.concatenate(
+            [v, jnp.zeros((R, 128 - v.shape[-1]), v.dtype)], axis=1)
+
+    def fold_pair(m, c):
+        # lexicographic circular roll-fold of (row-max, row-candidate)
+        # pairs: larger m wins, ties broken by smaller index c — one 3-step
+        # fold instead of the former fold(max) -> full-plane where ->
+        # fold(min) chain (two 3-step folds in SERIES). FPS rounds are
+        # latency-bound (attic/fps_pruned.py), so halving the serial fold
+        # chain is the lever; the two rolls per step are independent and
+        # the compare/selects are one vreg wide.
+        m, c = pad128(m), pad128(c)
+        for s in (B, 2 * B, 4 * B):
+            mr = pltpu.roll(m, R - s, axis=0)
+            cr = pltpu.roll(c, R - s, axis=0)
+            take = (mr > m) | ((mr == m) & (cr < c))
+            m = jnp.where(take, mr, m)
+            c = jnp.where(take, cr, c)
+        return c[:, :1]
+
     def gather_coords(new):
         # one-hot over the (R, L) plane: exactly one hit per cloud; the add
         # fold turns per-row partial sums into per-cloud sums on every row
@@ -68,14 +89,48 @@ def _fps_kernel_folded(npoint: int, B: int, unroll: int, x_ref, y_ref, z_ref,
              for c in (xs, ys, zs)], axis=1)              # (R, 3)
         return fold(partial, jnp.add)
 
+    def fold_payload(m, c, px, py, pz):
+        # pair fold with the candidate's COORDS riding the same selects:
+        # removes the whole post-fold one-hot gather + add-fold stage from
+        # the serial chain (the one-hot gather happens per-row BEFORE the
+        # fold, off the cross-row critical path). A/B'd on-chip vs the
+        # pair fold; the banked-variant negative result (ROUND3_NOTES)
+        # carried payloads over ~13 fold steps — this is 3.
+        m, c = pad128(m), pad128(c)
+        px, py, pz = pad128(px), pad128(py), pad128(pz)
+        for s in (B, 2 * B, 4 * B):
+            mr = pltpu.roll(m, R - s, axis=0)
+            cr = pltpu.roll(c, R - s, axis=0)
+            take = (mr > m) | ((mr == m) & (cr < c))
+            m = jnp.where(take, mr, m)
+            c = jnp.where(take, cr, c)
+            px = jnp.where(take, pltpu.roll(px, R - s, axis=0), px)
+            py = jnp.where(take, pltpu.roll(py, R - s, axis=0), py)
+            pz = jnp.where(take, pltpu.roll(pz, R - s, axis=0), pz)
+        return c[:, :1], jnp.concatenate(
+            [px[:, :1], py[:, :1], pz[:, :1]], axis=1)
+
     def body(j, last):
         d = ((xs - last[:, 0:1]) ** 2 + (ys - last[:, 1:2]) ** 2
              + (zs - last[:, 2:3]) ** 2)
         t = jnp.minimum(temp_ref[...], d)
         temp_ref[...] = t
-        m = fold(jnp.max(t, axis=1, keepdims=True), jnp.maximum)
-        cand = jnp.min(jnp.where(t == m, pidx, n), axis=1, keepdims=True)
-        new = fold(cand, jnp.minimum)                      # (R, 1) int32
+        # per-ROW max + first-index candidate, then ONE lexicographic fold
+        # across the cloud's 8 strided rows (same winner as the global
+        # max/where/min chain: the cloud winner is the max-m row's first
+        # argmax lane, ties across rows broken by smaller point index)
+        mrow = jnp.max(t, axis=1, keepdims=True)
+        crow = jnp.min(jnp.where(t == mrow, pidx, n), axis=1, keepdims=True)
+        if payload:
+            # per-row one-hot gather of the row's OWN candidate coords
+            # (exactly one hit per row), folded alongside (m, c)
+            onehot = (pidx == crow).astype(jnp.float32)
+            pr = [jnp.sum(cc * onehot, axis=1, keepdims=True)
+                  for cc in (xs, ys, zs)]
+            new, nxt = fold_payload(mrow, crow, *pr)
+            idx_ref[...] = jnp.where(out_lanes == j, new, idx_ref[...])
+            return nxt
+        new = fold_pair(mrow, crow)                        # (R, 1) int32
         idx_ref[...] = jnp.where(out_lanes == j, new, idx_ref[...])
         return gather_coords(new)
 
@@ -130,10 +185,11 @@ def _fps_kernel(npoint: int, x_ref, y_ref, z_ref, idx_ref, temp_ref):
 
 
 @functools.partial(jax.jit, static_argnums=(1,),
-                   static_argnames=("interpret", "unroll"))
+                   static_argnames=("interpret", "unroll", "payload"))
 def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
                                  *, interpret: bool = False,
-                                 unroll: int = 32) -> jnp.ndarray:
+                                 unroll: int = 32,
+                                 payload: bool = False) -> jnp.ndarray:
     """(B, N, 3) → (B, npoint) int32. Single program, batch on sublanes;
     clouds with N a multiple of 1024 additionally fold each cloud over 8
     sublane rows (full VPU occupancy — ~5× faster at the l1 8192→2048
@@ -147,7 +203,7 @@ def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
         planes = [jnp.transpose(xyz[:, :, i].reshape(B, 8, L), (1, 0, 2))
                   .reshape(B * 8, L) for i in range(3)]
         idx = pl.pallas_call(
-            functools.partial(_fps_kernel_folded, npoint, B, unroll),
+            functools.partial(_fps_kernel_folded, npoint, B, unroll, payload),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B * 8, npoint), jnp.int32),

@@ -26,10 +26,19 @@ noise):
 With --fast, runs the iterative pairing instead: semitrained bifeat teacher
 -> fg student with att_iter_loss (fast_distillTrain.py:161-189 semantics).
 
-Writes kd_effectiveness[_fast].npz (curves) next to the fixture and prints
-one JSON verdict line.
+Round-4 lesson (chip jobs 205/213): the comparison is only meaningful when
+the teacher's held-out EPE beats what the student reaches from scratch in
+the same horizon — a semitrained TEACHER-preset model (held-out 0.2232)
+against an fg student (scratch reaches 0.106 in 3000 steps) just drags the
+student toward the worse teacher. The flags below let the arms pair the
+strongest semitrained family (fg/bifeat, ~0.1 regime) with the reference's
+actual small students (student/student2 presets), and pick a FLOW-ONLY KD
+loss (biDirectionLoss — loss_functions.py:53-66) when teacher/student
+feature widths differ (hint losses require equal hint-layer widths, in
+torch exactly as here).
 
 Usage: python scripts/kd_effectiveness.py [--fast] [--steps N] [--bs B]
+           [--teacher PRESET] [--student PRESET] [--loss NAME] [--tag SUFFIX]
 """
 
 from __future__ import annotations
@@ -84,11 +93,16 @@ def main():
                                          set_learning_rate)
     from kd_pointcloud_tpu.train.distill_experiment import make_named_loss
 
+    def _arg(flag, default):
+        return (sys.argv[sys.argv.index(flag) + 1]
+                if flag in sys.argv else default)
+
     fast = "--fast" in sys.argv
-    n_steps = (int(sys.argv[sys.argv.index("--steps") + 1])
-               if "--steps" in sys.argv else 3000)
-    bs = (int(sys.argv[sys.argv.index("--bs") + 1])
-          if "--bs" in sys.argv else 4)
+    n_steps = int(_arg("--steps", 3000))
+    bs = int(_arg("--bs", 4))
+    s_preset = _arg("--student", "fg")
+    loss_name = _arg("--loss", "biDirection_loss_ht")
+    tag = _arg("--tag", "")
 
     ds = KITTI(train=False, transform=ProcessData(num_points=8192))
     bank = build_scene_bank(ds, range(len(ds)))
@@ -97,13 +111,13 @@ def main():
     eval_batches = make_batches(bank, held_ids, np.random.default_rng(11),
                                 EVAL_BS)
 
-    t_preset = "bifeat" if fast else "teacher"
+    t_preset = _arg("--teacher", "bifeat" if fast else "teacher")
     t_model = BidPointFlowNet(PRESETS[t_preset])
     t_params, t_stats = load_msgpack_tree(
         osp.join(FIXTURE_DIR, f"semitrained_{t_preset}.msgpack"))
     t_variables = {"params": t_params, "batch_stats": t_stats}
 
-    s_model = BidPointFlowNet(PRESETS["fg"])
+    s_model = BidPointFlowNet(PRESETS[s_preset])
     probe = make_batches(bank, train_ids[:bs], np.random.default_rng(0), bs)
     s_init = jax.jit(lambda k: s_model.init(
         k, probe[0]["pos1"], probe[0]["pos2"], probe[0]["norm1"],
@@ -131,9 +145,9 @@ def main():
         return next_batch
 
     print(f"backend={jax.default_backend()} mode="
-          f"{'fast/att_iter' if fast else 'standard/biDirection_loss_ht'} "
-          f"steps={n_steps} bs={bs} teacher=semitrained_{t_preset}",
-          flush=True)
+          f"{'fast/att_iter' if fast else f'standard/{loss_name}'} "
+          f"steps={n_steps} bs={bs} teacher=semitrained_{t_preset} "
+          f"student={s_preset}", flush=True)
     t_held = None
     try:
         t_eval = make_eval_step(t_model)
@@ -155,7 +169,7 @@ def main():
         kd_step = make_fast_distill_step(t_model, s_model, tx,
                                          gamma=0.6, layers=(1, 2))
     else:
-        named = make_named_loss("biDirection_loss_ht",
+        named = make_named_loss(loss_name,
                                 {"gamma": GAMMA, "beta": BETA,
                                  "hint_layers": [HINT_LAYER]})
         kd_step = make_distill_step(
@@ -165,11 +179,13 @@ def main():
         kd_step, state, t_variables, make_batch_stream(), eval_step,
         eval_batches, n_steps, set_lr, "kd")
 
-    suffix = "_fast" if fast else ""
+    suffix = ("_fast" if fast else "") + tag
     np.savez(osp.join(FIXTURE_DIR, f"kd_effectiveness{suffix}.npz"),
              scratch=np.asarray(scratch_curve), kd=np.asarray(kd_curve))
     verdict = {
         "mode": "fast" if fast else "standard",
+        "teacher": t_preset, "student": s_preset,
+        "loss": "att_iter" if fast else loss_name,
         "steps": n_steps,
         "teacher_held_out_epe": (round(t_held, 4)
                                  if t_held is not None else None),
