@@ -1,0 +1,89 @@
+"""Protocol tests for the round-4 evidence harness (scripts/evidence_data.py).
+
+The KD-effectiveness and semitrained-checkpoint claims rest on both arms /
+all runs seeing EXACTLY the same scene splits and batch streams; these tests
+pin that contract on the bundled KITTI data.
+"""
+
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "scripts"))
+
+from evidence_data import (EVAL_BS, N_POINTS, N_TRAIN_SCENES,
+                           build_scene_bank, make_batches, mean_epe,
+                           sample_pair)
+
+KITTI_AVAILABLE = osp.isdir("/root/reference/datasets/kitti_processed")
+
+
+@pytest.fixture(scope="module")
+def bank():
+    if not KITTI_AVAILABLE:
+        pytest.skip("bundled KITTI not present")
+    from kd_pointcloud_tpu.data import KITTI, ProcessData
+
+    ds = KITTI(train=False, transform=ProcessData(num_points=N_POINTS))
+    assert len(ds) > N_TRAIN_SCENES  # split leaves a held-out remainder
+    return build_scene_bank(ds, range(3))
+
+
+class TestSceneBank:
+    def test_rows_stay_aligned(self, bank):
+        # sf = pc2 - pc1 must be a row-wise correspondence: both clouds of a
+        # scene keep identical row counts through masking
+        for pc1, pc2 in bank:
+            assert pc1.shape == pc2.shape
+            assert pc1.dtype == np.float32
+            assert pc1.shape[0] > N_POINTS // 2  # masked clouds stay large
+
+    def test_depth_mask(self, bank):
+        for pc1, pc2 in bank:
+            assert pc1[:, 2].max() < 35.0 and pc2[:, 2].max() < 35.0
+
+
+class TestSampling:
+    def test_sample_pair_is_no_corr(self, bank):
+        pc1, pc2 = bank[0]
+        rng = np.random.default_rng(0)
+        p1, p2, sf = sample_pair(pc1, pc2, rng)
+        assert p1.shape == (N_POINTS, 3) and p2.shape == (N_POINTS, 3)
+        # flow rows correspond to p1's sample rows: p1 + sf lands on pc2 rows
+        assert sf.shape == (N_POINTS, 3)
+        # no-corr: p2 is an independent resample, not pc2[idx1]
+        warped = p1 + sf
+        assert not np.allclose(warped, p2)
+
+    def test_seeded_stream_is_reproducible(self, bank):
+        a = make_batches(bank, [0, 1, 2], np.random.default_rng(11), 3)
+        b = make_batches(bank, [0, 1, 2], np.random.default_rng(11), 3)
+        assert len(a) == len(b) == 1
+        for k in ("pos1", "pos2", "flow"):
+            np.testing.assert_array_equal(np.asarray(a[0][k]),
+                                          np.asarray(b[0][k]))
+
+    def test_batches_drop_ragged_tail(self, bank):
+        # 3 scenes at bs=2 -> one batch of 2, scene 2 dropped (exact batches
+        # keep the jitted step's shapes static)
+        batches = make_batches(bank, [0, 1, 2], np.random.default_rng(0), 2)
+        assert len(batches) == 1
+        assert batches[0]["pos1"].shape == (2, N_POINTS, 3)
+
+    def test_eval_split_constants(self):
+        # 142 mapped scenes: 100 train / 42 held-out = 7 exact EVAL_BS=6
+        # batches — the held-out eval sees every scene exactly once
+        assert (142 - N_TRAIN_SCENES) % EVAL_BS == 0
+
+
+class TestMeanEpe:
+    def test_averages_per_scene(self, bank):
+        batches = make_batches(bank, [0, 1], np.random.default_rng(0), 2)
+
+        def fake_eval_step(variables, b):
+            # per-scene EPEs 1.0 and 3.0 -> mean 2.0
+            return np.asarray([1.0, 3.0]), None, None
+
+        assert mean_epe(fake_eval_step, None, batches) == pytest.approx(2.0)
