@@ -189,11 +189,18 @@ def _fps_kernel(npoint: int, x_ref, y_ref, z_ref, idx_ref, temp_ref):
 def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
                                  *, interpret: bool = False,
                                  unroll: int = 32,
-                                 payload: bool = False) -> jnp.ndarray:
+                                 payload: bool = True) -> jnp.ndarray:
     """(B, N, 3) → (B, npoint) int32. Single program, batch on sublanes;
     clouds with N a multiple of 1024 additionally fold each cloud over 8
     sublane rows (full VPU occupancy — ~5× faster at the l1 8192→2048
-    sweep, identical indices)."""
+    sweep, identical indices).
+
+    payload=True (default) folds the winner's coords through the same
+    lexicographic selects; measured on-chip at 8192→2048 (round-4 job
+    212b, bit-exact at every shape): round-3 kernel / pair fold / payload
+    fold = 2.42 / 1.70 / 1.66 ms at B=2 (the eval-bs=1 in-model batch),
+    2.36 / 1.85 / 1.74 at B=3, ~2.5 / 2.00 / 1.88 at B=6. The pair fold
+    wins marginally at B=1 only (1.61 vs 1.64); payload is the default."""
     B, N, _ = xyz.shape
     xyz = xyz.astype(jnp.float32)
 

@@ -9,6 +9,14 @@ short-lived scripts, run ONE worker and feed it snippets:
 
 Snippets exec in a shared globals dict — imports, params, and compiled
 functions persist between jobs. Writing /tmp/tpuq/QUIT stops the worker.
+
+Round-4 hardening: host memory accumulates across jobs (JAX client buffers +
+jit caches live process-wide; the round-4 worker was OOM-killed at 130 GB
+anon-rss mid-job, which also risks wedging the remote TPU). The worker now
+checks its RSS after every job and, above KDPC_WORKER_RSS_LIMIT_GB (default
+60), exits CLEANLY between jobs (rc 3). Run it under scripts/run_tpu_worker.sh,
+which restarts on rc 3 and stops on QUIT — restarts also pick up repo code
+changes, so prefer the wrapper always.
 """
 
 import io
@@ -49,8 +57,18 @@ def run_one(path: str):
         fd.write(status)
 
 
+def _rss_gb() -> float:
+    try:
+        with open(f"/proc/{os.getpid()}/statm") as fd:
+            return int(fd.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e9
+    except Exception:
+        return 0.0
+
+
 def main():
-    print(f"worker up, pid={os.getpid()}", flush=True)
+    rss_limit = float(os.environ.get("KDPC_WORKER_RSS_LIMIT_GB", "60"))
+    print(f"worker up, pid={os.getpid()}, rss_limit={rss_limit} GB",
+          flush=True)
     seen = set()
     while True:
         if os.path.exists(os.path.join(QUEUE, "QUIT")):
@@ -60,10 +78,23 @@ def main():
                       if f.endswith(".py") and f not in seen
                       and not os.path.exists(os.path.join(QUEUE, f + ".done")))
         for job in jobs:
+            # re-scan between jobs so higher-priority (lower-sorted) files
+            # queued during a long job are not skipped by a stale list
+            if job in seen or os.path.exists(
+                    os.path.join(QUEUE, job + ".done")):
+                continue
             seen.add(job)
             print(f"running {job}", flush=True)
             run_one(os.path.join(QUEUE, job))
-            print(f"done {job}", flush=True)
+            print(f"done {job} (rss {_rss_gb():.1f} GB)", flush=True)
+            rss = _rss_gb()
+            if rss > rss_limit:
+                # exit CLEANLY between jobs (no in-flight TPU RPC to wedge);
+                # the run_tpu_worker.sh wrapper restarts a fresh process
+                print(f"rss {rss:.1f} GB > {rss_limit} GB — clean restart",
+                      flush=True)
+                sys.exit(3)
+            break   # force a fresh scan after every job
         time.sleep(0.5)
 
 

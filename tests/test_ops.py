@@ -88,9 +88,11 @@ class TestFps:
         np.testing.assert_array_equal(
             idx3, np.broadcast_to(np.arange(16, dtype=np.int32), (2, 16)))
 
+    @pytest.mark.parametrize("payload", [False, True])
     @pytest.mark.parametrize("B,N,npoint", [(1, 1024, 256), (2, 2048, 512),
                                             (3, 192, 48)])
-    def test_pallas_kernel_interpret_bit_exact(self, rng, B, N, npoint):
+    def test_pallas_kernel_interpret_bit_exact(self, rng, B, N, npoint,
+                                               payload):
         """The Pallas FPS kernel (both the folded strided layout at
         N % 1024 == 0 and the plain (B, N) layout) matches the numpy oracle
         bit-exactly in interpret mode — pins the lexicographic pair-fold
@@ -101,7 +103,7 @@ class TestFps:
 
         xyz = rng.randn(B, N, 3).astype(np.float32) * 10
         got = np.asarray(furthest_point_sample_pallas(
-            jnp.asarray(xyz), npoint, interpret=True))
+            jnp.asarray(xyz), npoint, interpret=True, payload=payload))
         np.testing.assert_array_equal(got, np_fps(xyz, npoint))
 
     def test_blocked_matches_per_block_exact(self, rng):
