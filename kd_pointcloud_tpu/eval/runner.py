@@ -150,6 +150,11 @@ def evaluate_model(model, variables, loader, logger=None,
                 variables, NamedSharding(mesh, PartitionSpec()))
             put = lambda x: jax.device_put(jnp.asarray(x), bsh)  # noqa: E731
         else:
+            # device_put ONCE even single-device: checkpoint trees arrive
+            # as host numpy (torch_import / msgpack), and a host tree
+            # passed to a jitted step re-ships all ~32 MB through the
+            # remote-TPU tunnel on EVERY batch.
+            variables = jax.device_put(variables)
             put = jnp.asarray
 
         step = make_eval_metrics_step(model, with_2d=with_2d)
@@ -176,6 +181,7 @@ def evaluate_model(model, variables, loader, logger=None,
         return results
 
     # ---- host-metrics fallback (reference-identical numpy path)
+    variables = jax.device_put(variables)   # see device-metrics note above
     fwd = make_eval_forward(model)
     futures = []
     with ThreadPoolExecutor(max_workers=metric_workers) as pool:

@@ -70,6 +70,13 @@ def run_arm(step_fn, state, t_variables, next_batch, eval_step, eval_batches,
             state, loss = step_fn(state, b)
         else:
             state, loss = step_fn(state, t_variables, b)
+        if (i + 1) % 50 == 0:
+            # bound the async dispatch backlog: block_until_ready is a
+            # no-op on this remote backend, so force a host transfer. An
+            # unbounded enqueue loop floods the remote tunnel (round-4
+            # incident: the tunnel stopped draining mid-job and the client
+            # ballooned to 130 GB rss before the OOM killer fired).
+            float(loss)
         if i == int(n_steps * 0.5) or i == int(n_steps * 0.75):
             state = set_lr(state, 0.5)
         if (i + 1) % EVAL_EVERY == 0 or i == n_steps - 1:
@@ -115,7 +122,12 @@ def main():
     t_model = BidPointFlowNet(PRESETS[t_preset])
     t_params, t_stats = load_msgpack_tree(
         osp.join(FIXTURE_DIR, f"semitrained_{t_preset}.msgpack"))
-    t_variables = {"params": t_params, "batch_stats": t_stats}
+    # device_put ONCE: msgpack_restore yields host numpy, and passing a
+    # host tree to a jitted step re-ships the ENTIRE teacher tree (~32 MB)
+    # through the remote-TPU tunnel on EVERY call — 3000 KD steps would
+    # push ~95 GB and was the round-4 tunnel-wedge root cause (job 213).
+    t_variables = jax.device_put(
+        {"params": t_params, "batch_stats": t_stats})
 
     s_model = BidPointFlowNet(PRESETS[s_preset])
     probe = make_batches(bank, train_ids[:bs], np.random.default_rng(0), bs)

@@ -58,7 +58,11 @@ def main():
         from kd_pointcloud_tpu.models.torch_import import \
             load_torch_checkpoint
         params, stats = load_torch_checkpoint(ckpt)
-    variables = {"params": params, "batch_stats": stats}
+    # device_put ONCE: a host-numpy tree passed to a jitted fwd re-ships
+    # the full ~32 MB tree through the remote tunnel on EVERY dispatch —
+    # it would dominate (and corrupt) the throughput lines below.
+    import jax as _jax
+    variables = _jax.device_put({"params": params, "batch_stats": stats})
 
     ds = KITTI(train=False, transform=ProcessData(num_points=8192))
     scenes = []
@@ -76,6 +80,9 @@ def main():
             teacher, flow_nei_per_level=(16, 32, 32, 32))),
         ("k24_24", dataclasses.replace(
             teacher, flow_nei_per_level=(24, 24, 32, 32))),
+        ("l0only_24", dataclasses.replace(
+            teacher, flow_nei_per_level=(24, 32, 32, 32))),
+        ("prod_fps8", dataclasses.replace(teacher, fps_blocks=8)),
         ("serving_fps8", dataclasses.replace(
             PRESETS["serving"], fps_blocks=8)),
     ]

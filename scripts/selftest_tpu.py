@@ -216,13 +216,19 @@ def main():
 
         def _sweep(variants, params, stats):
             means = {}
+            # device_put ONCE: msgpack/torch trees are host numpy, and a
+            # host tree passed to a jitted fwd re-ships all ~32 MB through
+            # the remote tunnel per scene (50 scenes x 4 variants = 6.4 GB
+            # — job 212 took 63 min mostly on this).
+            vv_dev = jax.device_put({"params": params,
+                                     "batch_stats": stats})
             for name, cfg in variants:
                 model = BidPointFlowNet(cfg)
                 fwd = jax.jit(lambda vv, a, b, mm=model: mm.apply(
                     vv, a, b, a, b, train=False)["flows"][0])
                 rows = []
                 for pc1s, pc2s, sf, path in scenes:
-                    pred = fwd({"params": params, "batch_stats": stats},
+                    pred = fwd(vv_dev,
                                jnp.asarray(pc1s[None]),
                                jnp.asarray(pc2s[None]))
                     pred = np.asarray(pred[-1] if isinstance(pred, list)
@@ -264,7 +270,11 @@ def main():
                 round(float(x), 6) for x in d]
             v_ok = _in_band(d)
             results[f"metrics_ok_{variant}"] = v_ok
-            if variant != "fps_blocks8":     # ruling knob, not a default
+            # serving + fps_blocks8 are QUANTIFIED-RELAXATION knobs, not
+            # equivalence claims: on trained weights serving's EPE3D delta
+            # is +0.054 (out of band — ROUND4_NOTES §3, the round-4
+            # demotion), so only the production path gates metrics_ok.
+            if variant == "production":
                 metrics_ok = metrics_ok and v_ok
 
         if "--fg" in sys.argv:

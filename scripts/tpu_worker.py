@@ -31,11 +31,40 @@ QUEUE = "/tmp/tpuq"
 os.makedirs(QUEUE, exist_ok=True)
 
 SHARED: dict = {}
+CURRENT_JOB: list = [None]
+
+
+def _watchdog(hard_limit_gb: float):
+    """Abort the WORKER if a single job's RSS runs away (round-4 incident:
+    job 213 ballooned to 130 GB before the kernel OOM killer fired —
+    a controlled exit at the hard limit is strictly safer for the remote
+    TPU than an OOM kill mid-RPC). Marks the current job done-with-error
+    FIRST so the restarted worker does not re-run the leaky job."""
+    import threading
+    import time as _t
+
+    def loop():
+        while True:
+            _t.sleep(20)
+            if _rss_gb() > hard_limit_gb:
+                job = CURRENT_JOB[0]
+                if job:
+                    with open(job + ".out", "a") as fd:
+                        fd.write(f"\n[rss-abort: worker passed "
+                                 f"{hard_limit_gb} GB mid-job]\n")
+                    with open(job + ".done", "w") as fd:
+                        fd.write("rss-abort")
+                print(f"watchdog: rss {_rss_gb():.1f} GB > "
+                      f"{hard_limit_gb} GB — hard exit", flush=True)
+                os._exit(5)
+
+    threading.Thread(target=loop, daemon=True).start()
 
 
 def run_one(path: str):
     out_path = path + ".out"
     done_path = path + ".done"
+    CURRENT_JOB[0] = path
     buf = io.StringIO()
     old_out, old_err = sys.stdout, sys.stderr
     sys.stdout = sys.stderr = buf
@@ -55,6 +84,7 @@ def run_one(path: str):
         fd.write(f"\n[{status} in {time.time()-t0:.1f}s]\n")
     with open(done_path, "w") as fd:
         fd.write(status)
+    CURRENT_JOB[0] = None
 
 
 def _rss_gb() -> float:
@@ -67,8 +97,10 @@ def _rss_gb() -> float:
 
 def main():
     rss_limit = float(os.environ.get("KDPC_WORKER_RSS_LIMIT_GB", "60"))
-    print(f"worker up, pid={os.getpid()}, rss_limit={rss_limit} GB",
-          flush=True)
+    hard_limit = float(os.environ.get("KDPC_WORKER_RSS_HARD_GB", "90"))
+    _watchdog(hard_limit)
+    print(f"worker up, pid={os.getpid()}, rss_limit={rss_limit} GB "
+          f"(hard mid-job abort at {hard_limit} GB)", flush=True)
     seen = set()
     while True:
         if os.path.exists(os.path.join(QUEUE, "QUIT")):

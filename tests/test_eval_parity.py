@@ -244,18 +244,20 @@ class TestProductionPathMetrics:
         assert abs(dref[4]) <= self.EPE2D_TOL
 
     def test_serving_preset_param_tree_and_metric_deltas(self, golden):
-        """CPU half of the serving-preset guarantee (VERDICT r2 #1).
+        """CPU pin for the serving preset's RANDOM-INIT deltas.
 
         The serving preset relaxes the cost-volume K at the two DENSE
         levels (flow_nei_per_level=(16, 16, 32, 32); coarse levels keep the
-        reference K=32 — their errors cascade through the decoder); its
-        parameter tree must stay identical to the teacher's (any teacher
-        checkpoint serves unchanged), and its six-metric deltas vs the
-        exact path must stay inside the acceptance bands (EPE bands shared
-        with the production path; ACC* bands widened for this 10-scene
-        fixture — see SERVING_ACC_TOL above). The on-chip half (real
-        ff-kNN + packed-pool kernels, 50 scenes) is enforced by
-        scripts/selftest_tpu.py --metrics.
+        reference K=32); its parameter tree must stay identical to the
+        teacher's (any teacher checkpoint serves unchanged).
+
+        ROUND-4 STATUS (ROUND4_NOTES §3): on TRAINED weights (semitrained
+        generalizing checkpoint, 50 scenes on-chip) the serving EPE3D delta
+        is +0.054 — OUT of the ≤1e-3 equivalence band. The preset is
+        therefore labeled fast-but-approximate, NOT equivalent; this CPU
+        test keeps the random-init deltas pinned purely as a regression
+        check on the preset's wiring (bands below are the random-init
+        calibration and do not license trained-weight equivalence).
         """
         import dataclasses
 
@@ -304,3 +306,76 @@ class TestProductionPathMetrics:
         assert abs(d[3]) <= self.SERVING_ACC_TOL, d
         assert abs(d[4]) <= self.EPE2D_TOL, d
         assert abs(d[5]) <= self.SERVING_ACC2D_TOL, d
+
+    @pytest.mark.slow  # exact feature-kNN on CPU is minutes/scene
+    @pytest.mark.parametrize("preset,n_scenes", [("fg", 3), ("bifeat", 2)])
+    def test_fg_family_production_vs_exact(self, golden, preset, n_scenes):
+        """Approx-path metric deltas for the FG family (VERDICT r3 #5).
+
+        The fg/bifeat models run a FEATURE-SPACE kNN union
+        (nn/cross.py:226-237) — the approx path's hardest case
+        (lax.approx_min_k recall behavior on learned-feature geometry is
+        where the fused-kNN crash surfaced in round 2). Here the shipped
+        production config is swept against the exact path on a few fixture
+        scenes with a seeded random init — a WIRING regression check only
+        (scene count is bounded by CPU exact-kNN cost; slow lane). The
+        authoritative TRAINED-regime evidence (semitrained fg/bifeat
+        checkpoints, 50 scenes, real ff-kNN kernels) is on-chip:
+        scripts/selftest_tpu.py --metrics --fg, evidence/round4/job219 —
+        bifeat fully in band (EPE3D +5.8e-5); fg in band on five metrics
+        with a marginal ACC3DS −0.0035 vs the ±3e-3 band (recall-target
+        follow-up in job 224).
+        """
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from kd_pointcloud_tpu.eval.geometry import get_batch_2d_flow
+        from kd_pointcloud_tpu.eval.metrics import evaluate_2d, evaluate_3d
+        from kd_pointcloud_tpu.models import PRESETS, BidPointFlowNet
+
+        prod_cfg = PRESETS[preset]
+        assert prod_cfg.knn_method == "approx"
+        exact_cfg = dataclasses.replace(prod_cfg, knn_method="exact",
+                                        knn_precision="highest")
+
+        pc0 = jnp.asarray(golden["pc1_0"][None])
+        qc0 = jnp.asarray(golden["pc2_0"][None])
+        variables = jax.jit(
+            lambda k: BidPointFlowNet(exact_cfg).init(
+                k, pc0, qc0, pc0, qc0, train=False))(jax.random.PRNGKey(3))
+
+        means = {}
+        for name, cfg in (("exact", exact_cfg), ("production", prod_cfg)):
+            model = BidPointFlowNet(cfg)
+            rows = []
+            for i in range(min(n_scenes, int(golden["n_scenes"]))):
+                pc1 = golden[f"pc1_{i}"]
+                pc2 = golden[f"pc2_{i}"]
+                sf = golden[f"sf_{i}"]
+                path = str(golden[f"path_{i}"])
+                out = model.apply(
+                    variables,
+                    jnp.asarray(pc1[None]), jnp.asarray(pc2[None]),
+                    jnp.asarray(pc1[None]), jnp.asarray(pc2[None]),
+                    train=False)
+                f0 = out["flows"][0]
+                # bifeat (iters=2) returns a per-iteration list at each
+                # level; score the last iteration (runner.py:50 semantics)
+                pred = np.asarray(f0[-1] if isinstance(f0, list) else f0)[0]
+                epe3d, acc3ds, acc3dr, outl = evaluate_3d(pred, sf)
+                f2d_pred, f2d_gt = get_batch_2d_flow(
+                    pc1[None], (pc1 + sf)[None], (pc1 + pred)[None], [path])
+                epe2d, acc2d = evaluate_2d(f2d_pred[0], f2d_gt[0])
+                rows.append([epe3d, acc3ds, acc3dr, outl, epe2d, acc2d])
+            means[name] = np.mean(np.asarray(rows), axis=0)
+
+        d = means["production"] - means["exact"]
+        print(f"{preset} production-vs-exact metric deltas "
+              "[epe3d acc3ds acc3dr outl epe2d acc2d]:", d)
+        assert abs(d[0]) <= self.EPE3D_TOL, d
+        assert abs(d[1]) <= self.ACC_TOL and abs(d[2]) <= self.ACC_TOL, d
+        assert abs(d[3]) <= self.ACC_TOL, d
+        assert abs(d[4]) <= self.EPE2D_TOL, d
+        assert abs(d[5]) <= self.ACC2D_TOL, d
