@@ -352,6 +352,41 @@ def main():
         print(json.dumps({"metric": "serving_eval_throughput_8192pts_bs1",
                           "error": str(e)[:200]}))
 
+    # ---- serving_v2 (models/config.py: cost-volume K=16 at l0 ONLY) — the
+    # trained-weight-LICENSED relaxation from the round-4 frontier sweep
+    # (evidence/round4/job222): EPE3D +8.8e-4 (inside the ≤1e-3 band) with
+    # the other FIVE metrics all IMPROVING vs exact, on the semitrained
+    # generalizing checkpoint. Same param tree as teacher.
+    try:
+        v2_model = BidPointFlowNet(PRESETS["serving_v2"])
+        v2_fwd = jax.jit(lambda v, a, b, c, d:
+                         v2_model.apply(v, a, b, c, d,
+                                        train=False)["flows"][0])
+        float(jnp.sum(v2_fwd(variables, *batches[0])))
+        t0 = time.time()
+        out = None
+        for i in range(N):
+            out = v2_fwd(variables, *batches[i % len(batches)])
+        float(jnp.sum(out))
+        v2_pairs = N / (time.time() - t0)
+        print(json.dumps({
+            "metric": "serving_v2_eval_throughput_8192pts_bs1",
+            "value": round(v2_pairs, 2),
+            "unit": "pairs/sec/chip",
+            "vs_baseline": round(v2_pairs / BASELINE_PAIRS_PER_S, 2),
+            "config": "serving_v2 preset (cost-volume K=16 at l0 only; "
+                      "teacher params)",
+            "metric_deltas": "LICENSED on trained weights (directional "
+                             "band): EPE3D +8.8e-4 in band, other five "
+                             "metrics IMPROVE vs exact (ROUND4_NOTES §3, "
+                             "job 222)",
+            "loadavg_1m": round(host_load, 2),
+            "protocol": PROTOCOL,
+        }))
+    except Exception as e:  # pragma: no cover
+        print(json.dumps({"metric": "serving_v2_eval_throughput_8192pts_bs1",
+                          "error": str(e)[:200]}))
+
     # ---- HEADLINE (last line; the driver records it): the production
     # teacher — approx ff-kNN at K=32, exact FPS — whose six-metric deltas
     # vs the exact path are +7.1e-5 EPE3D on the semitrained TRAINED-regime

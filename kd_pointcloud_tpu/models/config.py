@@ -105,30 +105,37 @@ class ModelConfig:
 PRESETS = {
     # teacher (models_bid_pointconv.py) — identical to lighttoken_res
     "teacher": ModelConfig(name="teacher"),
-    # SERVING config: the teacher arch with the cost-volume neighbor count
-    # halved at the two DENSE levels (l0/l1: 32 → 16; l2/l3 keep the
-    # reference K=32 — the coarse levels' errors cascade through the whole
-    # decoder while their rows are cheap, so relaxing them bought nothing
-    # and cost accuracy: global K=16 measured EPE3D −0.0021 vs exact, out
-    # of the ≤1e-3 band, while (16,16,32,32) measures EPE3D −3.2e-4 with
-    # all six metrics in band on 50 bundled KITTI scenes). The parameter
-    # tree is IDENTICAL to teacher/lighttoken_res (K only sets gather/pool
-    # width), so any teacher checkpoint loads directly. Halving K at l0/l1
-    # halves the dominant cost-volume row gathers and pool rows — the
-    # serving-latency wall (scripts/selftest_tpu.py --metrics records the
-    # deltas; see BENCH JSON). A quantified relaxation, NOT the parity
-    # config: reference semantics keep K=32 everywhere
-    # (pointconv_util.py:1815 nsample).
-    # fps_blocks (ops/fps.py furthest_point_sample_blocked) would relax the
-    # OTHER serving wall, the serial l1 FPS chain: fps_blocks=8 measured
-    # 144→170 pairs/s, but its EPE3D delta sits ON the ±1e-3 band edge
-    # (−8.2e-4 and −1.04e-3 across two 50-scene runs; run-to-run metric
-    # reproducibility is ~±2e-4 from layout-induced distance-tie flips), so
-    # it is NOT the default — the shipped serving preset keeps exact FPS
-    # and a 3× in-band margin. Users who accept the band-edge deltas can
-    # set fps_blocks=8 for ~6.6× baseline.
+    # SERVING config (ROUND-4 STATUS: fast-but-APPROXIMATE, not equivalent):
+    # the teacher arch with the cost-volume neighbor count halved at the two
+    # DENSE levels (l0/l1: 32 → 16; l2/l3 keep the reference K=32). The
+    # parameter tree is IDENTICAL to teacher/lighttoken_res (K only sets
+    # gather/pool width), so any teacher checkpoint loads directly. Round 3
+    # licensed this preset "in band" with RANDOM-init weights; round 4's
+    # trained-weight re-licensing (semitrained generalizing checkpoint,
+    # 50 scenes on-chip, ROUND4_NOTES §3 / evidence/round4/job212) measured
+    # EPE3D +0.054 vs exact — 54× OUT of the ≤1e-3 band. In the
+    # accurate-flow regime the l1 cost volume carries real signal and K=16
+    # there loses it (at random init flows are O(1) noise, which is why the
+    # round-3 band was an artifact). Kept as the quantified max-throughput
+    # relaxation (~145 pairs/s); for a LICENSED relaxation use serving_v2.
     "serving": ModelConfig(name="serving",
                            flow_nei_per_level=(16, 16, 32, 32)),
+    # SERVING_V2: the trained-weight-LICENSED relaxation — K=16 at l0 ONLY
+    # (l1..l3 keep the reference K=32). The round-4 relaxation frontier
+    # sweep (scripts/relaxation_sweep.py, evidence/round4/job222, semitrained
+    # checkpoint, 50 scenes) shows the l1 cost volume is the sensitive one:
+    # truncating K at l1 blows the band (serving +0.054, k24@l0/l1 +0.018)
+    # while l0-only truncation is near-Pareto — l0only_16 measures EPE3D
+    # +8.8e-4 (inside the ≤1e-3 band) with the OTHER FIVE metrics all
+    # IMPROVING (ACC3DS +9e-4, ACC3DR +1.5e-3, Outliers −1.5e-3, EPE2D
+    # −2.6e-2, ACC2D +1.3e-3), at 136.6 vs production's 118.2 pairs/s under
+    # sweep conditions (+15%). Bands are DIRECTIONAL (degradation-only):
+    # an improvement cannot fail the band. Same param tree as teacher.
+    # K=24@l0 ("l0only_24") improved all six metrics at 128.8 pairs/s —
+    # users wanting a strictly-better-than-exact operating point can set
+    # flow_nei_per_level=(24, 32, 32, 32).
+    "serving_v2": ModelConfig(name="serving_v2",
+                              flow_nei_per_level=(16, 32, 32, 32)),
     # the arch trained/evaluated by the main entries and the released ckpt
     "lighttoken_res": ModelConfig(name="lighttoken_res"),
     # WeightNet-compression student (models_bid_lighttoken_weight48.py:20-53)

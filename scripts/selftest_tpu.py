@@ -243,28 +243,36 @@ def main():
             return means
 
         def _in_band(d):
-            return bool(abs(d[0]) <= 1e-3 and abs(d[1]) <= 3e-3
-                        and abs(d[2]) <= 3e-3 and abs(d[3]) <= 3e-3
-                        and abs(d[4]) <= 5e-2 and abs(d[5]) <= 3e-3)
+            """DIRECTIONAL (degradation-only) six-metric band: an
+            improvement cannot fail the band (ROUND4_NOTES §3). Metric
+            order [epe3d acc3ds acc3dr outl epe2d acc2d]; EPE/Outliers are
+            lower-better (delta must not EXCEED +tol), ACC* higher-better
+            (delta must not fall BELOW −tol)."""
+            return bool(d[0] <= 1e-3 and d[1] >= -3e-3
+                        and d[2] >= -3e-3 and d[3] <= 3e-3
+                        and d[4] <= 5e-2 and d[5] >= -3e-3)
 
         means = _sweep((
             ("exact", dataclasses.replace(PRESETS["teacher"],
                                           knn_method="exact",
                                           knn_precision="highest")),
             ("production", PRESETS["teacher"]),
-            # serving preset (l0/l1 cost-volume K=16): same param tree — the
-            # quantified-relaxation config whose deltas license the serving
-            # BENCH headline
+            # serving_v2 (K=16 at l0 ONLY): the trained-weight-LICENSED
+            # relaxation — gates metrics_ok with the directional band
+            # (models/config.py serving_v2; evidence/round4/job222)
+            ("serving_v2", PRESETS["serving_v2"]),
+            # serving preset (l0/l1 cost-volume K=16): DEMOTED round 4 —
+            # EPE3D +0.054 on trained weights, fast-but-approximate only
             ("serving", PRESETS["serving"]),
-            # fps_blocks=8: the serial-FPS relaxation whose band ruling was
-            # pending trained weights (models/config.py:122-129)
+            # fps_blocks=8: the serial-FPS relaxation, ruled OUT of band on
+            # trained weights (+0.091 with serving, +0.029 with production)
             ("fps_blocks8", dataclasses.replace(PRESETS["serving"],
                                                 fps_blocks=8)),
         ), params, stats)
         results["metrics_exact"] = [round(float(x), 5)
                                     for x in means["exact"]]
         metrics_ok = True
-        for variant in ("production", "serving", "fps_blocks8"):
+        for variant in ("production", "serving_v2", "serving", "fps_blocks8"):
             d = means[variant] - means["exact"]
             results[f"metric_deltas_{variant}_minus_exact"] = [
                 round(float(x), 6) for x in d]
@@ -273,8 +281,9 @@ def main():
             # serving + fps_blocks8 are QUANTIFIED-RELAXATION knobs, not
             # equivalence claims: on trained weights serving's EPE3D delta
             # is +0.054 (out of band — ROUND4_NOTES §3, the round-4
-            # demotion), so only the production path gates metrics_ok.
-            if variant == "production":
+            # demotion). production and serving_v2 are the LICENSED paths
+            # and gate metrics_ok.
+            if variant in ("production", "serving_v2"):
                 metrics_ok = metrics_ok and v_ok
 
         if "--fg" in sys.argv:
