@@ -201,6 +201,10 @@ def main():
         # fixture (round-4 finding: its sweep-scene EPE3D ~0.73 is no more
         # "trained regime" than random init), then random init.
         candidates = ("/tmp/kdpc_train_parity/semitrained_teacher.msgpack",
+                      # repo-persisted copy (round-4: a host reboot wiped
+                      # /tmp mid-round; the fixture now survives in git)
+                      "/root/repo/evidence/checkpoints/"
+                      "semitrained_teacher.msgpack",
                       "/tmp/kdpc_train_parity/overfit_final.pth",
                       "/tmp/kdpc_eval_parity/ref_eval_random.pth")
         sd_path = _arg("--ckpt", next((c for c in candidates
