@@ -139,7 +139,8 @@ def _embed_keys_ff(xyz: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(n_groups: int, n2_bits: int, k: int, extract: bool,
-            precision, vpu: bool, xq_ref, xk_ref, out_ref, d_scratch):
+            precision, vpu: bool, stage_a: bool,
+            xq_ref, xk_ref, out_ref, d_scratch):
     TQ = xq_ref.shape[0]
     N2 = xk_ref.shape[1]
     G = n_groups
@@ -183,9 +184,45 @@ def _kernel(n_groups: int, n2_bits: int, k: int, extract: bool,
         out_ref[...] = acc
         return
 
-    # exact top-k of the G candidates: min → retire → repeat. Padding lanes
-    # (when the caller rounds k up) stay INT32_MAX and are never selected
-    # before real candidates run out.
+    # ---- stage A (round-4): shrink the extraction set G → G/2 with a
+    # one-time smallest-4-of-8 selection network across the eight 128-lane
+    # vregs of each row. The serial top-k extraction below costs
+    # O(k · n_vregs) full-width vector ops and dominates the kernel wall
+    # (~1.0 of ~1.25 ms at 8192², k=32 — MXU dot and packed-min are ~0.2);
+    # halving the lane count nearly halves every round's retire pass for a
+    # one-time ~24-op network. Retention: survivors per mod-128 lane class
+    # are its 4 smallest members, so a true top-k neighbor is lost only
+    # when ≥5 of the k land in the same mod-128 class — expected losses
+    # C(32,5)/128⁴ ≈ 7.5e-4 at k=32, noise against the 0.987 recall
+    # license (the mod-G birthday bound above stays the dominant term;
+    # measured on-chip recall after this change: see selftest
+    # knn_ff_recall). The lower-half-of-bitonic-merge trick needs only the
+    # two 4-element halves SORTED, not the output: for ascending x, y the
+    # set {min(x_i, y_{3-i})} is exactly the 4 smallest of the union.
+    # Values stay unique (a subset of the packed acc), so the min-retire
+    # extraction still selects exactly one lane per round.
+    if stage_a and k <= 64 and G == 1024:  # loss grows ~C(k,5); k=64: 2e-2
+        v = [acc[:, i * 128:(i + 1) * 128] for i in range(8)]
+
+        def ce(a, b):
+            return jnp.minimum(a, b), jnp.maximum(a, b)
+
+        def sort4(a, b, c, d):
+            a, c = ce(a, c)
+            b, d = ce(b, d)
+            a, b = ce(a, b)
+            c, d = ce(c, d)
+            b, c = ce(b, c)
+            return a, b, c, d
+
+        x = sort4(v[0], v[1], v[2], v[3])
+        y = sort4(v[4], v[5], v[6], v[7])
+        acc = jnp.concatenate(
+            [jnp.minimum(x[i], y[3 - i]) for i in range(4)], axis=1)
+
+    # exact top-k of the surviving candidates: min → retire → repeat.
+    # Padding lanes (when the caller rounds k up) stay INT32_MAX and are
+    # never selected before real candidates run out.
     out_ref[...] = jnp.full(out_ref.shape, INT32_MAX, jnp.int32)
     for j in range(k):
         m = jnp.min(acc, axis=1, keepdims=True)            # (TQ, 1)
@@ -203,13 +240,13 @@ def _unpack(packed: jnp.ndarray, n2_bits: int):
 @functools.partial(jax.jit, static_argnums=(2,),
                    static_argnames=("n_groups", "tq", "extract", "recall",
                                     "interpret", "precision", "semantics",
-                                    "vpu", "mode"))
+                                    "vpu", "mode", "stage_a"))
 def knn_fused(query: jnp.ndarray, xyz: jnp.ndarray, k: int,
               *, n_groups: int = 1024, tq: int = 256,
               extract: bool = True, recall: float = 0.95,
               interpret: bool = False, precision: str = "highest",
               semantics: str = "arbitrary", vpu: bool = False,
-              mode: str | None = None):
+              mode: str | None = None, stage_a: bool = True):
     """(B, N1, 3) queries × (B, N2, 3) keys → (dist², idx) of shape (B, N1, k).
 
     Requires N1 % tq == 0 and N2 % n_groups == 0. dist² carries ≤1e-3
@@ -250,7 +287,7 @@ def knn_fused(query: jnp.ndarray, xyz: jnp.ndarray, k: int,
     prec = jax.lax.Precision(precision)
     out = pl.pallas_call(
         functools.partial(_kernel, n_groups, n2_bits, k, extract, prec,
-                          mode == "vpu"),
+                          mode == "vpu", stage_a),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tq, 128), lambda b, q: (b * (N1 // tq) + q, 0),

@@ -103,6 +103,25 @@ class TestKnnFused:
             np.testing.assert_array_equal(
                 p, np.asarray(jnp.asarray(p, jnp.bfloat16).astype(jnp.float32)))
 
+    def test_stage_a_selection_network_g1024(self, rng):
+        """The G=1024 extraction path runs the round-4 stage-A network
+        (smallest-4-of-8 across the stride-class vregs) before the serial
+        min-retire loop. Its output must equal the exact top-k of the FULL
+        candidate set whenever no mod-128 lane class holds ≥5 of the top-k
+        (expected losses ~7.5e-4 at k=32 — with this fixed seed, zero):
+        the stage_a=False kernel is the no-stage-A oracle."""
+        q = jnp.asarray(rng.randn(1, 256, 3).astype(np.float32))
+        x = jnp.asarray(rng.randn(1, 2048, 3).astype(np.float32))
+        k = 32
+        d, idx = knn_fused(q, x, k, n_groups=1024, tq=128, interpret=True)
+        do, io = knn_fused(q, x, k, n_groups=1024, tq=128, interpret=True,
+                           stage_a=False)
+        assert np.array_equal(np.asarray(idx), np.asarray(io))
+        assert np.array_equal(np.asarray(d), np.asarray(do))
+        # and the end-to-end recall bar vs the exact path still holds
+        _, ie = knn_point_dist(k, x, q, method="exact", precision="highest")
+        assert _recall(idx, ie) > 0.97
+
     def test_ff_distance_error_bound(self, rng):
         """ff distances (debiased) track true d² within the documented
         ~1e-3 absolute + mantissa-mask error."""
