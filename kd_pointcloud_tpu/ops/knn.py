@@ -54,9 +54,11 @@ def _fused_call(k, xyz, query, precision, index_only=False):
     from .gather import group_points
     from .pallas.knn_fused import knn_fused
     S = query.shape[1]
-    # measured optima on v5e: tq=256 at 8192 queries, tq=512 at <=2048
-    tq = 512 if (S <= 2048 and S % 512 == 0) else \
-        (256 if S % 256 == 0 else 128)
+    # measured optimum on v5e (round-4 sweep, 8192² k=32 with the stage-A
+    # extraction: tq 128/256/512/1024 → 0.99/0.82/0.76/0.78 ms): tq=512
+    # wherever the query count allows; the 16 MB (512, 8192) f32 distance
+    # scratch sits comfortably in v5e VMEM
+    tq = 512 if S % 512 == 0 else (256 if S % 256 == 0 else 128)
     # All fused searches select with the float-float single-MXU-pass
     # distance ("ff", knn_fused docstring) — same measured recall as the
     # exact-f32 VPU variant (0.987 at 8192² k=32 on KITTI), 1.22 ms vs
