@@ -113,14 +113,28 @@ def main():
     # warm / compile
     float(jnp.sum(fwd(variables, *batches[0])))
 
-    N = 50
-    t0 = time.time()
-    out = None
-    for i in range(N):
-        out = fwd(variables, *batches[i % len(batches)])
-    float(jnp.sum(out))          # host sync — device has executed all N
-    dt = (time.time() - t0) / N
-    pairs_per_s = 1.0 / dt
+    def timed_reps(f, n=20, reps=1):
+        """reps × n-dispatch amortized blocks → pairs/s per block."""
+        vals = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = None
+            for i in range(n):
+                out = f(variables, *batches[i % len(batches)])
+            float(jnp.sum(out))  # host sync — device has executed all n
+            vals.append(n / (time.time() - t0))
+        return vals
+
+    # ---- INTERLEAVED repetitions (VERDICT r4 weak #1: the latency-bound
+    # exact-path number swings ~4% between consecutive quiet runs; N=1
+    # reporting makes the 5× claim unfalsifiable). Protocol: warm every
+    # variant, then run REPS rounds visiting each variant once per round —
+    # interleaving exposes each variant to the same drift — and report
+    # median (headline) + min + all reps.
+    REPS, NBLK = 3, 20
+    teacher_reps = timed_reps(fwd, NBLK, 1)          # rep 1 (more below)
+    pairs_per_s = teacher_reps[0]
+    dt = 1.0 / pairs_per_s
 
     # ---- train-step throughput (bs=3, the reference training batch size,
     # train_bid_pointconv.py:138) with a SELF-MEASURED target: the bs=1
@@ -298,32 +312,38 @@ def main():
     # of random-init flows). These lines are therefore labeled
     # fast-but-approximate; the headline (LAST line) is the production
     # teacher, whose trained-weight delta is +7.1e-5 (14x inside band).
+    serving_reps, v2_reps, s3_pairs = [], [], None
     try:
         s_model = BidPointFlowNet(PRESETS["serving"])
         s_fwd = jax.jit(lambda v, a, b, c, d:
                         s_model.apply(v, a, b, c, d,
                                       train=False)["flows"][0])
+        v2_model = BidPointFlowNet(PRESETS["serving_v2"])
+        v2_fwd = jax.jit(lambda v, a, b, c, d:
+                         v2_model.apply(v, a, b, c, d,
+                                        train=False)["flows"][0])
         float(jnp.sum(s_fwd(variables, *batches[0])))
-        t0 = time.time()
-        out = None
-        for i in range(N):
-            out = s_fwd(variables, *batches[i % len(batches)])
-        float(jnp.sum(out))
-        s_pairs = N / (time.time() - t0)
+        float(jnp.sum(v2_fwd(variables, *batches[0])))
+
+        # interleaved reps: each round times teacher → serving_v2 → serving
+        # under the same host/drift conditions
+        serving_reps += timed_reps(s_fwd, NBLK, 1)
+        v2_reps += timed_reps(v2_fwd, NBLK, 1)
+        for _ in range(REPS - 1):
+            teacher_reps += timed_reps(fwd, NBLK, 1)
+            v2_reps += timed_reps(v2_fwd, NBLK, 1)
+            serving_reps += timed_reps(s_fwd, NBLK, 1)
 
         # throughput mode: batch 3 pairs/dispatch (gathers no longer
         # degrade with batch after the flat-index rewrite, ops/gather.py)
         batches3 = [tuple(jnp.concatenate([x] * 3) for x in bb)
                     for bb in batches]
-        s3_fwd = jax.jit(lambda v, a, b, c, d:
-                         s_model.apply(v, a, b, c, d,
-                                       train=False)["flows"][0])
-        float(jnp.sum(s3_fwd(variables, *batches3[0])))
+        float(jnp.sum(s_fwd(variables, *batches3[0])))
         M3 = 20
         t0 = time.time()
         out = None
         for i in range(M3):
-            out = s3_fwd(variables, *batches3[i % len(batches3)])
+            out = s_fwd(variables, *batches3[i % len(batches3)])
         float(jnp.sum(out))
         s3_pairs = 3 * M3 / (time.time() - t0)
         print(json.dumps({
@@ -335,11 +355,14 @@ def main():
                       "latency line below is the headline)",
             "protocol": "20-dispatch amortized, single sync",
         }))
+        s_med = float(np.median(serving_reps))
         print(json.dumps({
             "metric": "serving_eval_throughput_8192pts_bs1",
-            "value": round(s_pairs, 2),
+            "value": round(s_med, 2),
             "unit": "pairs/sec/chip",
-            "vs_baseline": round(s_pairs / BASELINE_PAIRS_PER_S, 2),
+            "vs_baseline": round(s_med / BASELINE_PAIRS_PER_S, 2),
+            "value_min": round(min(serving_reps), 2),
+            "reps": [round(v, 2) for v in serving_reps],
             "config": "serving preset (cost-volume K=16 at l0/l1, K=32 "
                       "at l2/l3; teacher params)",
             "metric_deltas": "FAST-BUT-APPROXIMATE: EPE3D +0.054 vs exact "
@@ -348,32 +371,14 @@ def main():
             "loadavg_1m": round(host_load, 2),
             "protocol": PROTOCOL,
         }))
-    except Exception as e:  # pragma: no cover
-        print(json.dumps({"metric": "serving_eval_throughput_8192pts_bs1",
-                          "error": str(e)[:200]}))
-
-    # ---- serving_v2 (models/config.py: cost-volume K=16 at l0 ONLY) — the
-    # trained-weight-LICENSED relaxation from the round-4 frontier sweep
-    # (evidence/round4/job222): EPE3D +8.8e-4 (inside the ≤1e-3 band) with
-    # the other FIVE metrics all IMPROVING vs exact, on the semitrained
-    # generalizing checkpoint. Same param tree as teacher.
-    try:
-        v2_model = BidPointFlowNet(PRESETS["serving_v2"])
-        v2_fwd = jax.jit(lambda v, a, b, c, d:
-                         v2_model.apply(v, a, b, c, d,
-                                        train=False)["flows"][0])
-        float(jnp.sum(v2_fwd(variables, *batches[0])))
-        t0 = time.time()
-        out = None
-        for i in range(N):
-            out = v2_fwd(variables, *batches[i % len(batches)])
-        float(jnp.sum(out))
-        v2_pairs = N / (time.time() - t0)
+        v2_med = float(np.median(v2_reps))
         print(json.dumps({
             "metric": "serving_v2_eval_throughput_8192pts_bs1",
-            "value": round(v2_pairs, 2),
+            "value": round(v2_med, 2),
             "unit": "pairs/sec/chip",
-            "vs_baseline": round(v2_pairs / BASELINE_PAIRS_PER_S, 2),
+            "vs_baseline": round(v2_med / BASELINE_PAIRS_PER_S, 2),
+            "value_min": round(min(v2_reps), 2),
+            "reps": [round(v, 2) for v in v2_reps],
             "config": "serving_v2 preset (cost-volume K=16 at l0 only; "
                       "teacher params)",
             "metric_deltas": "LICENSED on trained weights (directional "
@@ -384,21 +389,27 @@ def main():
             "protocol": PROTOCOL,
         }))
     except Exception as e:  # pragma: no cover
-        print(json.dumps({"metric": "serving_v2_eval_throughput_8192pts_bs1",
+        print(json.dumps({"metric": "serving_eval_throughput_8192pts_bs1",
                           "error": str(e)[:200]}))
 
     # ---- HEADLINE (last line; the driver records it): the production
     # teacher — approx ff-kNN at K=32, exact FPS — whose six-metric deltas
     # vs the exact path are +7.1e-5 EPE3D on the semitrained TRAINED-regime
     # checkpoint (scripts/selftest_tpu.py --metrics, ROUND4_NOTES §3):
-    # equivalent accuracy, not a relaxation.
+    # equivalent accuracy, not a relaxation. Value = MEDIAN of the
+    # interleaved reps; min and all reps are reported alongside so the 5×
+    # claim is falsifiable against run-to-run variance (VERDICT r4 weak #1).
+    t_med = float(np.median(teacher_reps))
     print(json.dumps({
         "metric": "teacher_eval_throughput_8192pts_bs1",
-        "value": round(pairs_per_s, 2),
+        "value": round(t_med, 2),
         "unit": "pairs/sec/chip",
-        "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 2),
+        "vs_baseline": round(t_med / BASELINE_PAIRS_PER_S, 2),
+        "value_min": round(min(teacher_reps), 2),
+        "vs_baseline_min": round(min(teacher_reps) / BASELINE_PAIRS_PER_S, 2),
+        "reps": [round(v, 2) for v in teacher_reps],
         "loadavg_1m": round(host_load, 2),
-        "protocol": PROTOCOL,
+        "protocol": PROTOCOL + "; median of %d interleaved reps" % REPS,
     }))
 
 

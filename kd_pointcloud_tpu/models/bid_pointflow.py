@@ -80,7 +80,9 @@ class BidPointFlowNet(nn.Module):
         if cfg.cross == "light":
             return CrossLayerLight(nei, mlp, mlp, **kw)
         if cfg.cross == "fg":
-            return CrossLayerLightFG(nei, mlp, mlp, **kw)
+            return CrossLayerLightFG(
+                nei, mlp, mlp, feat_knn_method=cfg.fg_feat_knn_method,
+                euclid_knn_method=cfg.fg_euclid_knn_method, **kw)
         if cfg.cross == "nocross":
             return NoCrossLayerLight(nei, mlp, **kw)
         if cfg.cross == "vote":
@@ -269,10 +271,23 @@ class BidPointFlowNet(nn.Module):
             up_flow, feat_up = both_up[..., :3], both_up[..., 3:]
 
             iter_flows, iter_cfeats1, iter_cfeats2 = [], [], []
-            for _ in range(cfg.iters):
+            for it in range(cfg.iters):
                 iter_cfeats1.append(c_feat1)
                 iter_cfeats2.append(c_feat2)
-                pc2_warp = warp(pc1[lvl], pc2[lvl], up_flow)
+                if it == 0 and lvl in cfg.coarse_warp:
+                    # coarse-warp relaxation (ModelConfig.coarse_warp): the
+                    # inverse flow is reconstructed at lvl+1 — where the
+                    # flow actually lives pre-upsample — and IDW-upsampled
+                    # to lvl along the SAME pc2 lvl+1→lvl 3-NN the decoder
+                    # already searched (idx_up rows B:), skipping the
+                    # lvl-resolution N² warp search entirely
+                    inv_coarse = pc2[lvl + 1] - warp(
+                        pc1[lvl + 1], pc2[lvl + 1], cfg.scale * up_flow_src)
+                    inv_fine = upsample(pc2[lvl], pc2[lvl + 1], inv_coarse,
+                                        knn=(d2_up[B:], idx_up[B:]))
+                    pc2_warp = pc2[lvl] - inv_fine
+                else:
+                    pc2_warp = warp(pc1[lvl], pc2[lvl], up_flow)
                 if nocross:
                     cross_l = cross_call(lvl, pc1[lvl], pc2_warp,
                                          c_feat1, c_feat2)

@@ -89,6 +89,24 @@ class ModelConfig:
     # cost volume. ("default" was round 1's last perf step; reverted as a
     # correctness fix.)
     knn_precision: str = "highest"
+    # FG-family isolation-probe overrides (VERDICT r4 #2): force the
+    # feature-space / euclidean halves of the FG union kNN to a specific
+    # method ("exact" | "approx") independently of knn_method, to localize
+    # which search carries the fg production-vs-exact ACC3DS residual.
+    # None → both follow knn_method (production semantics).
+    fg_feat_knn_method: "str | None" = None
+    fg_euclid_knn_method: "str | None" = None
+    # COARSE-WARP relaxation (round 5): at the listed decoder levels the
+    # PointWarping inverse flow is computed at the COARSER level (lvl+1)
+    # from the just-estimated coarse flow and IDW-upsampled to lvl along
+    # the decoder's existing pc2 lvl+1→lvl 3-NN — replacing point_warp's
+    # lvl-resolution N² search (at l0: an 8192² fused-kNN launch, ~0.9 ms
+    # of the 7.9 ms eval pair) with a (N/4)² search plus one 3-row-wide
+    # upsample gather. APPROXIMATE: the inverse flow picks up one extra
+    # IDW smoothing; () = reference semantics (pointconv_util.py:2114-2142).
+    # Only the FIRST decoder iteration of a level can take the coarse path
+    # (later iterations refine a fine-level flow with no coarse source).
+    coarse_warp: Tuple[int, ...] = ()
     # nested FPS: levels 2-4 sample by prefix-slicing level 1's FPS ordering
     # instead of running their own FPS sweeps. EXACT, not approximate —
     # greedy FPS orderings are nested (proof: nn/pointconv.py

@@ -222,6 +222,11 @@ class CrossLayerLightFG(nn.Module):
     knn_method: str = "exact"
     knn_recall: float = 0.95
     knn_precision: str = "highest"
+    # isolation-probe overrides (VERDICT r4 #2: the fg production-vs-exact
+    # ACC3DS residual needs per-search-kind exactness arms): None → follow
+    # knn_method for that search kind
+    feat_knn_method: Optional[str] = None
+    euclid_knn_method: Optional[str] = None
 
     def _fg_idx_bid(self, xyz1, xyz2, fg1, fg2):
         """Union of feature-space and euclidean kNN for BOTH directions
@@ -229,10 +234,13 @@ class CrossLayerLightFG(nn.Module):
         direction — computed once; the two directions of each search kind
         ride one stacked kernel launch."""
         half = self.nsample // 2
-        kw = dict(method=self.knn_method, recall=self.knn_recall,
-                  precision=self.knn_precision)
-        idx12_f, idx21_f = _bid_knn(half, fg1, fg2, **kw)   # feature-space
-        idx12_e, idx21_e = _bid_knn(half, xyz1, xyz2, **kw)  # euclidean
+        kw = dict(recall=self.knn_recall, precision=self.knn_precision)
+        idx12_f, idx21_f = _bid_knn(
+            half, fg1, fg2,
+            method=self.feat_knn_method or self.knn_method, **kw)
+        idx12_e, idx21_e = _bid_knn(
+            half, xyz1, xyz2,
+            method=self.euclid_knn_method or self.knn_method, **kw)
         return (jnp.concatenate([idx12_f, idx12_e], axis=-1),
                 jnp.concatenate([idx21_f, idx21_e], axis=-1))
 

@@ -30,7 +30,7 @@ DEFAULT_RECALL = 0.95
 
 
 def _select_k(d: jnp.ndarray, k: int, method: str, recall: float):
-    if method == "approx":
+    if method in ("approx", "approx_vpu"):
         return jax.lax.approx_min_k(d, k, recall_target=recall)
     neg_d, idx = jax.lax.top_k(-d, k)
     return -neg_d, idx
@@ -50,7 +50,7 @@ def _fused_ok(k: int, n_queries: int, n_keys: int) -> bool:
             and n_queries % 128 == 0 and k <= 64)
 
 
-def _fused_call(k, xyz, query, precision, index_only=False):
+def _fused_call(k, xyz, query, precision, index_only=False, mode="ff"):
     from .gather import group_points
     from .pallas.knn_fused import knn_fused
     S = query.shape[1]
@@ -66,7 +66,7 @@ def _fused_call(k, xyz, query, precision, index_only=False):
     # tangents so training's JVP never reaches it.
     d_sel, idx = knn_fused(jax.lax.stop_gradient(query),
                            jax.lax.stop_gradient(xyz), k, n_groups=1024,
-                           tq=tq, precision=precision, mode="ff")
+                           tq=tq, precision=precision, mode=mode)
     if index_only:
         return d_sel, idx
     # Distance consumers (3-NN IDW weights) get EXACT d² recomputed from
@@ -84,8 +84,11 @@ def _use_fused(method: str, k: int, query, xyz) -> bool:
     # this image's TPU registers as platform "axon" (remote v5e tunnel).
     # The kernel's embeddings are built for 3-D COORDINATES — the FG
     # family's feature-space kNN (nn/cross.py _fg_idx_bid: 100+-dim
-    # "positions") must take the approx_min_k path.
-    return (method == "approx" and jax.default_backend() in ("tpu", "axon")
+    # "positions") must take the approx_min_k path. "approx_vpu" is the
+    # isolation-probe arm selecting the exact-f32 VPU distance variant of
+    # the fused kernel instead of the float-float MXU one (VERDICT r4 #2).
+    return (method in ("approx", "approx_vpu")
+            and jax.default_backend() in ("tpu", "axon")
             and query.shape[-1] == 3 and xyz.shape[-1] == 3
             and _fused_ok(k, query.shape[1], xyz.shape[1]))
 
@@ -118,7 +121,8 @@ def knn_point(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
     reduce).
     """
     if _use_fused(method, k, query, xyz):
-        return _fused_call(k, xyz, query, precision, index_only=True)[1]
+        return _fused_call(k, xyz, query, precision, index_only=True,
+                           mode="vpu" if method == "approx_vpu" else "ff")[1]
     return knn_point_dist(k, xyz, query, chunk=chunk, method=method,
                           recall=recall, precision=precision)[1]
 
@@ -137,7 +141,8 @@ def knn_point_dist(k: int, xyz: jnp.ndarray, query: jnp.ndarray,
     pattern (pointconv_util.py:2131-2133).
     """
     if _use_fused(method, k, query, xyz):
-        return _fused_call(k, xyz, query, precision)
+        return _fused_call(k, xyz, query, precision,
+                           mode="vpu" if method == "approx_vpu" else "ff")
     B, S, _ = query.shape
     if chunk is None or S <= chunk or S % chunk != 0:
         return _chunk_topk(xyz, query, k, method, recall, precision)

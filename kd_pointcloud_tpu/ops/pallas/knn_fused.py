@@ -201,7 +201,11 @@ def _kernel(n_groups: int, n2_bits: int, k: int, extract: bool,
     # set {min(x_i, y_{3-i})} is exactly the 4 smallest of the union.
     # Values stay unique (a subset of the packed acc), so the min-retire
     # extraction still selects exactly one lane per round.
-    if stage_a and k <= 64 and G == 1024:  # loss grows ~C(k,5); k=64: 2e-2
+    # k <= 32 is the LICENSED stage-A regime (recall 0.987 measured at k=32;
+    # expected loss grows ~C(k,5)/128^4 — k=48 ≈ 5e-3, k=64 ≈ 2e-2, well
+    # above the 7.5e-4 licensed at k=32). Callers with k in (32, 64] must
+    # opt in explicitly after re-licensing (ADVICE r4 #2).
+    if stage_a and k <= 32 and G == 1024:
         v = [acc[:, i * 128:(i + 1) * 128] for i in range(8)]
 
         def ce(a, b):

@@ -120,8 +120,12 @@ def main():
 
     t_preset = _arg("--teacher", "bifeat" if fast else "teacher")
     t_model = BidPointFlowNet(PRESETS[t_preset])
-    t_params, t_stats = load_msgpack_tree(
-        osp.join(FIXTURE_DIR, f"semitrained_{t_preset}.msgpack"))
+    from kd_pointcloud_tpu.utils.fixtures import fixture_path
+    t_ckpt = _arg("--teacher-ckpt",
+                  fixture_path(f"semitrained_{t_preset}.msgpack")
+                  or osp.join(FIXTURE_DIR,
+                              f"semitrained_{t_preset}.msgpack"))
+    t_params, t_stats = load_msgpack_tree(t_ckpt)
     # device_put ONCE: msgpack_restore yields host numpy, and passing a
     # host tree to a jitted step re-ships the ENTIRE teacher tree (~32 MB)
     # through the remote-TPU tunnel on EVERY call — 3000 KD steps would

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Regime-curve licensing sweep: approximation deltas vs training progress,
+with per-scene paired error bars (VERDICT r4 #4).
+
+Round 4 proved approximation bands are REGIME-DEPENDENT (the serving
+preset's random-init "in band" ruling inverted on trained weights), but then
+licensed serving_v2 at ONE checkpoint / one seed / no error bar. This sweep
+measures the six-metric deltas of each candidate variant vs the exact path
+at SEVERAL checkpoints along the semitrained curve (different EPE3D
+regimes, ideally from >=2 seeds), reporting for each (ckpt, variant):
+
+  * the exact path's sweep EPE3D (the regime coordinate),
+  * mean deltas for all six metrics (variant − exact),
+  * the PAIRED per-scene standard error of the EPE3D delta (each scene is
+    evaluated under both configs — the matched-pairs SE is the right error
+    bar for a mean-delta claim, far tighter than the cross-scene spread),
+  * the directional-band verdict (ROUND4_NOTES §3 band).
+
+Usage:
+  python scripts/regime_curve.py --ckpts p1,p2,... [--scenes 50]
+         [--variants production,serving_v2,prod_cw0,v2_cw0] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+
+import numpy as np
+
+from evidence_data import load_msgpack_tree
+
+# directional band (degradation-only): order [epe3d a3s a3r outl epe2d a2d]
+BAND = (1e-3, 3e-3, 3e-3, 3e-3, 5e-2, 3e-3)
+LOWER_BETTER = (True, False, False, True, True, False)
+
+
+def in_band(d):
+    return bool(all((x <= b) if lb else (x >= -b)
+                    for x, b, lb in zip(d, BAND, LOWER_BETTER)))
+
+
+def variant_cfg(name):
+    from kd_pointcloud_tpu.models import PRESETS
+    teacher = PRESETS["teacher"]
+    table = {
+        "exact": dataclasses.replace(teacher, knn_method="exact",
+                                     knn_precision="highest"),
+        "production": teacher,
+        "serving_v2": PRESETS["serving_v2"],
+        "serving": PRESETS["serving"],
+        "prod_cw0": dataclasses.replace(teacher, coarse_warp=(0,)),
+        "prod_cw01": dataclasses.replace(teacher, coarse_warp=(0, 1)),
+        "v2_cw0": dataclasses.replace(
+            teacher, flow_nei_per_level=(16, 32, 32, 32), coarse_warp=(0,)),
+    }
+    return table[name]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from kd_pointcloud_tpu.data import KITTI, ProcessData
+    from kd_pointcloud_tpu.eval.geometry import get_batch_2d_flow
+    from kd_pointcloud_tpu.eval.metrics import evaluate_2d, evaluate_3d
+    from kd_pointcloud_tpu.models import BidPointFlowNet
+
+    def _arg(flag, default):
+        return (sys.argv[sys.argv.index(flag) + 1]
+                if flag in sys.argv else default)
+
+    ckpts = _arg("--ckpts", "").split(",")
+    n_scenes = int(_arg("--scenes", 50))
+    variants = _arg("--variants",
+                    "production,serving_v2,prod_cw0,v2_cw0").split(",")
+    out_path = _arg("--out", None)
+
+    ds = KITTI(train=False, transform=ProcessData(num_points=8192))
+    scenes = []
+    for i in range(n_scenes):
+        pc1s, pc2s, _, _, sf, path = ds[i]
+        scenes.append((pc1s, pc2s, sf, path))
+
+    def sweep_rows(cfg, variables):
+        model = BidPointFlowNet(cfg)
+        fwd = jax.jit(lambda vv, a, b, mm=model: mm.apply(
+            vv, a, b, a, b, train=False)["flows"][0])
+        rows = []
+        for pc1s, pc2s, sf, path in scenes:
+            pred = np.asarray(fwd(variables, jnp.asarray(pc1s[None]),
+                                  jnp.asarray(pc2s[None])))[0]
+            epe3d, a3s, a3r, outl = evaluate_3d(pred, sf)
+            f2d_pred, f2d_gt = get_batch_2d_flow(
+                pc1s[None], (pc1s + sf)[None], (pc1s + pred)[None], [path])
+            epe2d, a2d = evaluate_2d(f2d_pred[0], f2d_gt[0])
+            rows.append([epe3d, a3s, a3r, outl, epe2d, a2d])
+        return np.asarray(rows)                    # (S, 6)
+
+    curve = []
+    for ckpt in ckpts:
+        params, stats = load_msgpack_tree(ckpt)
+        variables = jax.device_put({"params": params, "batch_stats": stats})
+        exact_rows = sweep_rows(variant_cfg("exact"), variables)
+        point = {"ckpt": ckpt,
+                 "exact_metrics": [round(float(x), 5)
+                                   for x in exact_rows.mean(0)],
+                 "regime_epe3d": round(float(exact_rows.mean(0)[0]), 5),
+                 "variants": {}}
+        for name in variants:
+            rows = sweep_rows(variant_cfg(name), variables)
+            d_rows = rows - exact_rows             # paired per-scene deltas
+            d = d_rows.mean(0)
+            se = d_rows.std(0, ddof=1) / np.sqrt(d_rows.shape[0])
+            point["variants"][name] = {
+                "deltas_vs_exact": [round(float(x), 6) for x in d],
+                "paired_se": [round(float(x), 6) for x in se],
+                "epe3d_delta": round(float(d[0]), 6),
+                "epe3d_delta_se": round(float(se[0]), 6),
+                "in_band": in_band(d),
+            }
+        curve.append(point)
+        print(json.dumps(point), flush=True)
+
+    result = {"n_scenes": n_scenes, "curve": curve}
+    if out_path:
+        with open(out_path, "w") as fd:
+            json.dump(result, fd, indent=1)
+    print(json.dumps({"regime_curve_done": len(curve),
+                      "out": out_path}))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,14 +27,24 @@ import numpy as np
 
 from evidence_data import load_msgpack_tree
 
-DEFAULT_CKPT = "/tmp/kdpc_train_parity/semitrained_teacher.msgpack"
+_REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+DEFAULT_CKPT = next(
+    (p for p in ("/tmp/kdpc_train_parity/semitrained_teacher.msgpack",
+                 osp.join(_REPO, "evidence", "checkpoints",
+                          "semitrained_teacher.msgpack"))
+     if osp.exists(p)),
+    "/tmp/kdpc_train_parity/semitrained_teacher.msgpack")
 
-# thresholds mirror tests/test_eval_parity.py::TestProductionPathMetrics
+# thresholds mirror tests/test_eval_parity.py::TestProductionPathMetrics;
+# DIRECTIONAL (degradation-only, ROUND4_NOTES §3): improvements can't fail.
+# order: [epe3d acc3ds acc3dr outliers epe2d acc2d]; signs: +1 lower-better
 BAND = (1e-3, 3e-3, 3e-3, 3e-3, 5e-2, 3e-3)
+LOWER_BETTER = (True, False, False, True, True, False)
 
 
 def in_band(d):
-    return bool(all(abs(x) <= b for x, b in zip(d, BAND)))
+    return bool(all((x <= b) if lb else (x >= -b)
+                    for x, b, lb in zip(d, BAND, LOWER_BETTER)))
 
 
 def main():
@@ -85,7 +95,20 @@ def main():
         ("prod_fps8", dataclasses.replace(teacher, fps_blocks=8)),
         ("serving_fps8", dataclasses.replace(
             PRESETS["serving"], fps_blocks=8)),
+        # round-5 arms: coarse-warp (inverse flow reconstructed at lvl+1,
+        # upsampled along the decoder's existing 3-NN — skips the l0 8192²
+        # warp search, ModelConfig.coarse_warp) alone and stacked on the
+        # licensed serving_v2 relaxation
+        ("prod_cw0", dataclasses.replace(teacher, coarse_warp=(0,))),
+        ("prod_cw01", dataclasses.replace(teacher, coarse_warp=(0, 1))),
+        ("v2_cw0", dataclasses.replace(
+            teacher, flow_nei_per_level=(16, 32, 32, 32),
+            coarse_warp=(0,))),
     ]
+    only = _arg("--only", None)
+    if only:
+        keep = {"exact"} | set(only.split(","))
+        variants = [v for v in variants if v[0] in keep]
 
     out = {"ckpt": ckpt, "n_scenes": n_scenes, "variants": {}}
     means = {}

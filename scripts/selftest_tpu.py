@@ -200,11 +200,14 @@ def main():
         # regime that licenses approximations), then the 16-scene overfit
         # fixture (round-4 finding: its sweep-scene EPE3D ~0.73 is no more
         # "trained regime" than random init), then random init.
+        repo_root = osp.dirname(osp.dirname(osp.abspath(__file__)))
         candidates = ("/tmp/kdpc_train_parity/semitrained_teacher.msgpack",
                       # repo-persisted copy (round-4: a host reboot wiped
-                      # /tmp mid-round; the fixture now survives in git)
-                      "/root/repo/evidence/checkpoints/"
-                      "semitrained_teacher.msgpack",
+                      # /tmp mid-round; the fixture now survives in git) —
+                      # derived from __file__ so the selftest finds it from
+                      # any checkout location (ADVICE r4 #3)
+                      osp.join(repo_root, "evidence", "checkpoints",
+                               "semitrained_teacher.msgpack"),
                       "/tmp/kdpc_train_parity/overfit_final.pth",
                       "/tmp/kdpc_eval_parity/ref_eval_random.pth")
         sd_path = _arg("--ckpt", next((c for c in candidates
@@ -246,15 +249,24 @@ def main():
                 means[name] = np.mean(np.asarray(rows), axis=0)
             return means
 
-        def _in_band(d):
+        def _in_band(d, epe3d_tol=1e-3):
             """DIRECTIONAL (degradation-only) six-metric band: an
             improvement cannot fail the band (ROUND4_NOTES §3). Metric
             order [epe3d acc3ds acc3dr outl epe2d acc2d]; EPE/Outliers are
             lower-better (delta must not EXCEED +tol), ACC* higher-better
             (delta must not fall BELOW −tol)."""
-            return bool(d[0] <= 1e-3 and d[1] >= -3e-3
+            return bool(d[0] <= epe3d_tol and d[1] >= -3e-3
                         and d[2] >= -3e-3 and d[3] <= 3e-3
                         and d[4] <= 5e-2 and d[5] >= -3e-3)
+
+        # serving_v2's licensed EPE3D delta (+8.8e-4, job 222) sits ~1.2e-4
+        # inside the generic 1e-3 band while run-to-run metric
+        # reproducibility is ~±2e-4 (layout-induced distance-tie flips) —
+        # the gate could flake on a re-run with no real regression
+        # (ADVICE r4 #1). Its gate tolerance is widened to cover the
+        # documented noise; the licensing claim itself remains the measured
+        # +8.8e-4 (evidence/round4/job222 + the round-5 regime curve).
+        _EPE3D_TOL = {"serving_v2": 1.2e-3}
 
         means = _sweep((
             ("exact", dataclasses.replace(PRESETS["teacher"],
@@ -280,7 +292,7 @@ def main():
             d = means[variant] - means["exact"]
             results[f"metric_deltas_{variant}_minus_exact"] = [
                 round(float(x), 6) for x in d]
-            v_ok = _in_band(d)
+            v_ok = _in_band(d, _EPE3D_TOL.get(variant, 1e-3))
             results[f"metrics_ok_{variant}"] = v_ok
             # serving + fps_blocks8 are QUANTIFIED-RELAXATION knobs, not
             # equivalence claims: on trained weights serving's EPE3D delta
@@ -291,12 +303,15 @@ def main():
                 metrics_ok = metrics_ok and v_ok
 
         if "--fg" in sys.argv:
-            fg_default = "/tmp/kdpc_train_parity/semitrained_fg.msgpack"
-            if not osp.exists(fg_default):
-                fg_default = "/tmp/kdpc_train_parity/overfit_jax_fg.msgpack"
+            from kd_pointcloud_tpu.utils.fixtures import fixture_path
+            fg_default = (fixture_path("semitrained_fg.msgpack")
+                          or fixture_path("overfit_jax_fg.msgpack")
+                          or "/tmp/kdpc_train_parity/semitrained_fg.msgpack")
             fg_path = _arg("--fg-ckpt", fg_default)
             for preset in ("fg", "bifeat"):
                 p = fg_path.replace("_fg.", f"_{preset}.")
+                if not osp.exists(p):
+                    p = fixture_path(osp.basename(p)) or p
                 if osp.exists(p):
                     fg_params, fg_stats = _load_tree(p)
                     results[f"metrics_{preset}_ckpt"] = p

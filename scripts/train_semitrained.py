@@ -65,6 +65,17 @@ def main():
                if "--steps" in sys.argv else 6000)
     bs = (int(sys.argv[sys.argv.index("--bs") + 1])
           if "--bs" in sys.argv else 4)
+    # --seed shifts BOTH the init key and the data streams (regime-curve
+    # licensing, VERDICT r4 #4: deltas need >=2 seeds for error bars);
+    # seed 0 reproduces the round-4 runs bit-for-bit.
+    seed = (int(sys.argv[sys.argv.index("--seed") + 1])
+            if "--seed" in sys.argv else 0)
+    # --save-at "2000,4500,9000": additionally persist the CURRENT tree at
+    # these step counts (semitrained_<preset>_s<seed>_step<k>.msgpack) —
+    # the regime-curve checkpoints the licensing sweep consumes.
+    save_at = ([int(x) for x in
+                sys.argv[sys.argv.index("--save-at") + 1].split(",")]
+               if "--save-at" in sys.argv else [])
     eval_every = max(200, n_steps // 12)
 
     ds = KITTI(train=False, transform=ProcessData(num_points=N_POINTS))
@@ -84,7 +95,7 @@ def main():
     b0 = make_batches(bank, train_ids[:bs], np.random.default_rng(0), bs)[0]
     variables = jax.jit(lambda k: model.init(
         k, b0["pos1"], b0["pos2"], b0["norm1"], b0["norm2"],
-        train=False))(jax.random.PRNGKey(0))
+        train=False))(jax.random.PRNGKey(seed))
     tx = make_optimizer(1e-3, 1e-4)
     state = TrainState.create(variables, tx)
     train_step = make_train_step(model, tx)
@@ -94,16 +105,28 @@ def main():
           f"bs={bs} train_scenes={len(train_ids)} held={len(held_ids)}",
           flush=True)
 
-    train_rng = np.random.default_rng(7)
+    train_rng = np.random.default_rng(7 + 1000 * seed)
     losses, held_curve, trainsub_curve = [], [], []
     best = (float("inf"), None)
     queue = []
+
+    def _dump(path_suffix):
+        tree = {"params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats)}
+        p = osp.join(FIXTURE_DIR, f"semitrained_{preset}{path_suffix}"
+                     ".msgpack")
+        with open(p, "wb") as fd:
+            fd.write(flax.serialization.to_bytes(tree))
+        print(f"saved {p}", flush=True)
+
     for step_i in range(n_steps):
         if not queue:
             order = train_rng.permutation(train_ids)
             queue = make_batches(bank, list(order), train_rng, bs)
         state, loss = train_step(state, queue.pop())
         losses.append(float(loss))
+        if (step_i + 1) in save_at:
+            _dump(f"_s{seed}_step{step_i + 1}")
         if step_i == int(n_steps * 0.5) or step_i == int(n_steps * 0.75):
             state = state.replace(opt_state=set_learning_rate(
                 state.opt_state,
@@ -122,15 +145,17 @@ def main():
                         "batch_stats": jax.device_get(state.batch_stats)}
                 best = (held, flax.serialization.to_bytes(tree))
 
-    with open(osp.join(FIXTURE_DIR, f"semitrained_{preset}.msgpack"),
+    sfx = "" if seed == 0 else f"_s{seed}"
+    with open(osp.join(FIXTURE_DIR, f"semitrained_{preset}{sfx}.msgpack"),
               "wb") as fd:
         fd.write(best[1])
     final_tree = {"params": jax.device_get(state.params),
                   "batch_stats": jax.device_get(state.batch_stats)}
-    with open(osp.join(FIXTURE_DIR, f"semitrained_{preset}_final.msgpack"),
+    with open(osp.join(FIXTURE_DIR,
+                       f"semitrained_{preset}{sfx}_final.msgpack"),
               "wb") as fd:
         fd.write(flax.serialization.to_bytes(final_tree))
-    np.savez(osp.join(FIXTURE_DIR, f"semitrained_{preset}_curve.npz"),
+    np.savez(osp.join(FIXTURE_DIR, f"semitrained_{preset}{sfx}_curve.npz"),
              losses=np.asarray(losses, np.float64),
              held=np.asarray(held_curve, np.float64),
              trainsub=np.asarray(trainsub_curve, np.float64))

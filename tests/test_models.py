@@ -98,6 +98,45 @@ def test_serving_param_tree_identical_to_teacher(rng):
                 == jax.tree_util.tree_map(lambda x: x.shape, vt))
 
 
+def test_coarse_warp_contract(rng):
+    """coarse_warp (ModelConfig round-5 relaxation): the inverse warp flow
+    at the listed levels is reconstructed at lvl+1 and IDW-upsampled —
+    the param tree must stay identical to the exact config's (no new
+    modules) and the outputs must stay finite and CLOSE to exact at tiny
+    scale (the warp only perturbs cost-volume neighborhood geometry)."""
+    cfg = tiny_config("teacher")
+    inputs = make_inputs(rng)
+    _, v, out = init_and_run(cfg, inputs)
+    for levels in ((0,), (0, 1)):
+        cw = dataclasses.replace(cfg, coarse_warp=levels)
+        m = BidPointFlowNet(cw)
+        vs = m.init(jax.random.PRNGKey(0), *inputs, train=False)
+        assert (jax.tree_util.tree_structure(vs)
+                == jax.tree_util.tree_structure(v))
+        o, _ = m.apply(v, *inputs, train=False, mutable=["batch_stats"])
+        f = np.asarray(o["flows"][0])
+        assert np.isfinite(f).all()
+        # same weights, perturbed warp: flows differ but not wildly
+        d = np.abs(f - np.asarray(out["flows"][0])).max()
+        assert d < 0.1, d
+
+
+@pytest.mark.slow
+def test_coarse_warp_iterative_only_first_iter(rng):
+    """iters>1: only iteration 0 of a level may take the coarse path
+    (later iterations refine a fine-level flow; config.py coarse_warp)."""
+    cfg = tiny_config("bifeat")
+    inputs = make_inputs(rng)
+    _, v, out = init_and_run(cfg, inputs)
+    cw = dataclasses.replace(cfg, coarse_warp=(0,))
+    o, _ = BidPointFlowNet(cw).apply(v, *inputs, train=False,
+                                     mutable=["batch_stats"])
+    for lvl in range(3):
+        for it in range(cfg.iters):
+            f = np.asarray(o["flows"][lvl][it])
+            assert np.isfinite(f).all()
+
+
 def test_feature_widths_teacher(rng):
     """The teacher contract: feat1s channel widths match
     models_bid_pointconv.py:203 ([64,128,256,512,64,32,32])."""
