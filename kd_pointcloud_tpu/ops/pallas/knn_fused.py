@@ -139,13 +139,30 @@ def _embed_keys_ff(xyz: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(n_groups: int, n2_bits: int, k: int, extract: bool,
-            precision, vpu: bool, stage_a: bool,
-            xq_ref, xk_ref, out_ref, d_scratch):
+            precision, vpu: bool, stage_a: bool, fuse_min: bool,
+            xq_ref, xk_ref, out_ref, d_scratch=None):
     TQ = xq_ref.shape[0]
     N2 = xk_ref.shape[1]
     G = n_groups
     mask = jnp.int32(~((1 << n2_bits) - 1))
     lane = jax.lax.broadcasted_iota(jnp.int32, (TQ, G), 1)
+
+    if fuse_min and not vpu:
+        # fused dot+min (round 5): one (TQ, G) MXU dot per G-column block,
+        # packed-min'd immediately — the (TQ, N2) f32 distance block never
+        # exists, killing its VMEM write+read round trip (16 MB per tile at
+        # tq=512, 8192 keys) and the scratch allocation itself. Same math
+        # and packing as the scratch path; MXU work unchanged (8 dots of
+        # contraction 128 × output G instead of 1 of output N2).
+        acc = jnp.full((TQ, G), INT32_MAX, jnp.int32)
+        for p in range(N2 // G):
+            d = jnp.dot(xq_ref[...], xk_ref[:, p * G:(p + 1) * G],
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
+            packed = (pltpu.bitcast(d, jnp.int32) & mask) | (lane + p * G)
+            acc = jnp.minimum(acc, packed)
+        _extract_topk(acc, n_groups, k, extract, stage_a, out_ref)
+        return
 
     if vpu:
         # VPU variant: per-channel broadcast subtract-square into the
@@ -180,6 +197,11 @@ def _kernel(n_groups: int, n2_bits: int, k: int, extract: bool,
         packed = (pltpu.bitcast(d, jnp.int32) & mask) | (lane + p * G)
         acc = jnp.minimum(acc, packed)
 
+    _extract_topk(acc, n_groups, k, extract, stage_a, out_ref)
+
+
+def _extract_topk(acc, n_groups, k, extract, stage_a, out_ref):
+    G = n_groups
     if not extract:
         out_ref[...] = acc
         return
@@ -244,13 +266,14 @@ def _unpack(packed: jnp.ndarray, n2_bits: int):
 @functools.partial(jax.jit, static_argnums=(2,),
                    static_argnames=("n_groups", "tq", "extract", "recall",
                                     "interpret", "precision", "semantics",
-                                    "vpu", "mode", "stage_a"))
+                                    "vpu", "mode", "stage_a", "fuse_min"))
 def knn_fused(query: jnp.ndarray, xyz: jnp.ndarray, k: int,
               *, n_groups: int = 1024, tq: int = 256,
               extract: bool = True, recall: float = 0.95,
               interpret: bool = False, precision: str = "highest",
               semantics: str = "arbitrary", vpu: bool = False,
-              mode: str | None = None, stage_a: bool = True):
+              mode: str | None = None, stage_a: bool = True,
+              fuse_min: bool = False):
     """(B, N1, 3) queries × (B, N2, 3) keys → (dist², idx) of shape (B, N1, k).
 
     Requires N1 % tq == 0 and N2 % n_groups == 0. dist² carries ≤1e-3
@@ -289,9 +312,10 @@ def knn_fused(query: jnp.ndarray, xyz: jnp.ndarray, k: int,
                                 memory_space=pltpu.VMEM)
 
     prec = jax.lax.Precision(precision)
+    use_fuse_min = fuse_min and mode != "vpu"
     out = pl.pallas_call(
         functools.partial(_kernel, n_groups, n2_bits, k, extract, prec,
-                          mode == "vpu", stage_a),
+                          mode == "vpu", stage_a, use_fuse_min),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tq, 128), lambda b, q: (b * (N1 // tq) + q, 0),
@@ -301,7 +325,8 @@ def knn_fused(query: jnp.ndarray, xyz: jnp.ndarray, k: int,
         ],
         out_specs=out_spec,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((tq, N2), jnp.float32)],
+        scratch_shapes=([] if use_fuse_min
+                        else [pltpu.VMEM((tq, N2), jnp.float32)]),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", semantics)),
         cost_estimate=pl.CostEstimate(

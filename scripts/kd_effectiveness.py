@@ -109,6 +109,9 @@ def main():
     bs = int(_arg("--bs", 4))
     s_preset = _arg("--student", "fg")
     loss_name = _arg("--loss", "biDirection_loss_ht")
+    # reference hint layers for the shipped standard pairing are [2, 3]
+    # (distilTrain.py:174); default keeps the round-4 single-layer protocol
+    hint_layers = [int(x) for x in _arg("--hint", str(HINT_LAYER)).split(",")]
     tag = _arg("--tag", "")
 
     ds = KITTI(train=False, transform=ProcessData(num_points=8192))
@@ -187,7 +190,7 @@ def main():
     else:
         named = make_named_loss(loss_name,
                                 {"gamma": GAMMA, "beta": BETA,
-                                 "hint_layers": [HINT_LAYER]})
+                                 "hint_layers": hint_layers})
         kd_step = make_distill_step(
             t_model, s_model, tx,
             loss_fn=lambda s_out, t_out, b: named(s_out, t_out, b))
@@ -202,6 +205,8 @@ def main():
         "mode": "fast" if fast else "standard",
         "teacher": t_preset, "student": s_preset,
         "loss": "att_iter" if fast else loss_name,
+        "hint_layers": None if fast else hint_layers,
+        "teacher_ckpt": t_ckpt,
         "steps": n_steps,
         "teacher_held_out_epe": (round(t_held, 4)
                                  if t_held is not None else None),
