@@ -162,6 +162,8 @@ def main():
                     flow=jnp.zeros_like(bb[0]))
 
     try:
+        from kd_pointcloud_tpu.losses import multi_scale_loss
+
         tx = make_optimizer(1e-3)
         b3 = make_train_batch(3)
         v3 = jax.jit(lambda k: model.init(
@@ -172,6 +174,30 @@ def main():
                           make_train_batch(1), 15)
         dt3 = timed_steps(step, TrainState.create(v3, tx), b3, 15)
         target_pairs = 3 / dt1           # perfect scaling from the bs=1 step
+
+        # fwd/bwd decomposition (round-5 probe, evidence/round5/job402):
+        # the backward sits at the textbook ~2x-forward FLOP ratio, so the
+        # "3 pairs in one bs=1 step" target is a physically unreachable
+        # floor for a linear-work step — batch_efficiency (per-pair cost
+        # ratio bs1/bs3) is the defensible scaling criterion.
+        def loss_only(v, b):
+            out, _ = model.apply(v, b["pos1"], b["pos2"], b["norm1"],
+                                 b["norm2"], train=True,
+                                 mutable=["batch_stats"])
+            return multi_scale_loss(out["flows"], b["flow"],
+                                    out["fps_idx1"])
+
+        def timed_fwd(batch, m=10):
+            f = jax.jit(loss_only)
+            float(f(v3, batch))
+            t0 = time.time()
+            for _ in range(m):
+                loss = f(v3, batch)
+            float(loss)
+            return (time.time() - t0) / m
+
+        fwd1 = timed_fwd(make_train_batch(1))
+        fwd3 = timed_fwd(b3)
         print(json.dumps({
             "metric": "teacher_train_step_bs3",
             "value": round(1.0 / dt3, 2),
@@ -183,6 +209,14 @@ def main():
             "vs_target": round((3 / dt3) / target_pairs, 3),
             "target_basis": "perfect batch scaling of the same-run bs=1 "
                             "step (floor-based; no reference train timing)",
+            "batch_efficiency": round((dt1) / (dt3 / 3), 3),
+            "batch_efficiency_basis": "per-pair step cost bs=1 / bs=3 "
+                                      "(1.0 = linear work, >1 = batching "
+                                      "helps; the fwd/bwd ledger below "
+                                      "shows why vs_target cannot reach 1)",
+            "fwd_bs1_ms": round(fwd1 * 1e3, 2),
+            "fwd_bs3_ms": round(fwd3 * 1e3, 2),
+            "bwd_over_fwd_bs1": round((dt1 - fwd1) / fwd1, 2),
             "protocol": "15-dispatch amortized, single sync",
         }))
     except Exception as e:  # pragma: no cover - train bench is best-effort
