@@ -54,19 +54,29 @@ def _fused_call(k, xyz, query, precision, index_only=False, mode="ff"):
     from .gather import group_points
     from .pallas.knn_fused import knn_fused
     S = query.shape[1]
-    # measured optimum on v5e (round-4 sweep, 8192² k=32 with the stage-A
-    # extraction: tq 128/256/512/1024 → 0.99/0.82/0.76/0.78 ms): tq=512
-    # wherever the query count allows; the 16 MB (512, 8192) f32 distance
-    # scratch sits comfortably in v5e VMEM
-    tq = 512 if S % 512 == 0 else (256 if S % 256 == 0 else 128)
+    N2 = xyz.shape[1]
+    # measured optimum on v5e (round-5 fuse_min A/B, evidence/round5/
+    # job404): tq=512 at the square shapes (8192² fmin 0.79 vs scratch
+    # 0.84 ms; 2048² 0.66 vs 0.74), but the tall-skinny upsample shape
+    # (8192 queries × 2048 keys) wants tq=256 (0.74 vs 1.09 at tq=512 —
+    # the smaller output tile double-buffers better against the short
+    # key panel)
+    if N2 <= 2048 and S >= 2 * N2 and S % 256 == 0:
+        tq = 256
+    else:
+        tq = 512 if S % 512 == 0 else (256 if S % 256 == 0 else 128)
     # All fused searches select with the float-float single-MXU-pass
     # distance ("ff", knn_fused docstring) — same measured recall as the
     # exact-f32 VPU variant (0.987 at 8192² k=32 on KITTI), 1.22 ms vs
-    # 1.55. Indices are non-differentiable and the kernel has no VJP — cut
-    # tangents so training's JVP never reaches it.
+    # 1.55. fuse_min (round 5): the per-G-block MXU dot is packed-min'd in
+    # place of the (TQ, N2) f32 VMEM scratch round trip — BIT-IDENTICAL
+    # indices at every production shape (job 404), 6-35% faster. Indices
+    # are non-differentiable and the kernel has no VJP — cut tangents so
+    # training's JVP never reaches it.
     d_sel, idx = knn_fused(jax.lax.stop_gradient(query),
                            jax.lax.stop_gradient(xyz), k, n_groups=1024,
-                           tq=tq, precision=precision, mode=mode)
+                           tq=tq, precision=precision, mode=mode,
+                           fuse_min=(mode != "vpu"))
     if index_only:
         return d_sel, idx
     # Distance consumers (3-NN IDW weights) get EXACT d² recomputed from

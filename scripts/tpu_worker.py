@@ -10,6 +10,12 @@ short-lived scripts, run ONE worker and feed it snippets:
 Snippets exec in a shared globals dict — imports, params, and compiled
 functions persist between jobs. Writing /tmp/tpuq/QUIT stops the worker.
 
+NEVER have a job spawn a subprocess that imports jax (e.g. `subprocess.run
+bench.py`): the worker process already holds the single allowed TPU client,
+and a second client deadlocks against it (CLAUDE.md). Run scripts INLINE
+instead — `runpy.run_path(script, run_name="__main__")` with sys.argv set,
+or import the module and call its main().
+
 Round-4 hardening: host memory accumulates across jobs (JAX client buffers +
 jit caches live process-wide; the round-4 worker was OOM-killed at 130 GB
 anon-rss mid-job, which also risks wedging the remote TPU). The worker now
