@@ -98,6 +98,11 @@ def main():
     results["knn_ff_recall"] = round(_recall(np.asarray(idx_ff)[0], idx_e), 4)
     results["knn_vpu_recall"] = round(_recall(np.asarray(idx_vpu)[0], idx_e),
                                       4)
+    # fuse_min (round 5, the production default in ops/knn.py): must return
+    # BIT-IDENTICAL indices to the scratch path (evidence/round5/job404)
+    _, idx_fm = knn_fused(q, kk, 32, mode="ff", fuse_min=True)
+    results["knn_ff_fusemin_bitident"] = bool(
+        (np.asarray(idx_fm) == np.asarray(idx_ff)).all())
 
     # ---- kNN distances (VPU variant feeds IDW): mantissa-mask tolerance
     d3, i3 = knn_fused(q, kk, 3, mode="vpu")
@@ -135,6 +140,7 @@ def main():
     ok = (results["fps_exact"] and results["gather_exact"]
           and results["knn_ff_recall"] >= 0.98
           and results["knn_vpu_recall"] >= 0.98
+          and results["knn_ff_fusemin_bitident"]
           and results["knn_dist_rel_err"] < 3e-3
           and results["pool_max_abs_err"] < 1e-4)
 
