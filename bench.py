@@ -319,18 +319,28 @@ def main():
             return (time.time() - t0) / m * 1e3
 
         fps_ms = timed(lambda: furthest_point_sample_pallas(both, 2048))
-        knn_ms = timed(lambda: knn_fused(batches[0][0], batches[0][1], 32,
-                                         mode="ff")[1])
+        # production-config kernels (ops/knn.py _fused_call: fuse_min,
+        # tq=512 square / tq=256 tall-skinny — round-5 A/B, job 404)
+        knn_ms = timed(lambda: knn_fused(both, both[::-1], 32, tq=512,
+                                         mode="ff", fuse_min=True)[1])
+        warp_ms = timed(lambda: knn_fused(batches[0][1], batches[0][0], 3,
+                                          tq=512, mode="ff",
+                                          fuse_min=True)[1])
+        up_keys = jnp.concatenate([batches[0][0][:, :2048],
+                                   batches[0][1][:, :2048]])
+        up_ms = timed(lambda: knn_fused(both, up_keys, 3, tq=256,
+                                        mode="ff", fuse_min=True)[1])
         print(json.dumps({
             "metric": "teacher_eval_wall_ledger_ms",
             "value": round(dt * 1e3, 2),
             "unit": "ms/pair",
             "vs_baseline": None,
             "fps_b2_8192_to_2048": round(fps_ms, 3),
-            "knn_ff_8192sq_k32_each": round(knn_ms, 3),
-            "knn_count_per_pair": "2 cross0 searches at l0 + smaller levels",
+            "knn_ff_8192sq_k32_b2_cross0": round(knn_ms, 3),
+            "knn_ff_8192sq_k3_b1_warp0": round(warp_ms, 3),
+            "knn_ff_8192x2048_k3_b2_upsample0": round(up_ms, 3),
             "other_gathers_matmuls_pools": round(
-                dt * 1e3 - fps_ms - 2 * knn_ms, 2),
+                dt * 1e3 - fps_ms - knn_ms - warp_ms - up_ms, 2),
             "protocol": "30-dispatch amortized, single sync",
         }))
     except Exception as e:  # pragma: no cover - ledger is best-effort

@@ -27,6 +27,32 @@ out = {}
 for bs in (1, 2, 3, 6):
     bb = tuple(rep(x, bs) for x in b1)
     out[f"model_bs{bs}_ms"] = round(timed(lambda bb=bb: fwd(variables, *bb), 20), 3)
+
+# serving preset per-batch eval cost (VERDICT r4 #7: bs=3 >= 1.5x bs=1 or
+# a ledger proving the floor)
+sm = BidPointFlowNet(PRESETS["serving"])
+sfwd = jax.jit(lambda v, a, b, c, d: sm.apply(v, a, b, c, d, train=False)["flows"][0])
+for bs in (1, 3, 6):
+    bb = tuple(rep(x, bs) for x in b1)
+    out[f"serving_bs{bs}_ms"] = round(timed(lambda bb=bb: sfwd(variables, *bb), 20), 3)
+
+# train-step per-batch cost (VERDICT r4 #3: is the step compute-bound —
+# per-pair cost flat with batch — or is there a scaling wall?)
+from kd_pointcloud_tpu.train import TrainState, make_optimizer, make_train_step
+tx = make_optimizer(1e-3)
+step = make_train_step(model, tx, donate=False)
+for bs in (1, 2, 3, 6, 8):
+    bb = tuple(rep(x, bs) for x in b1)
+    batch = dict(pos1=bb[0], pos2=bb[1], norm1=bb[2], norm2=bb[3],
+                 flow=jnp.zeros_like(bb[0]))
+    st = TrainState.create(variables, tx)
+    st, loss = step(st, batch); float(loss)
+    import time as _t
+    t0 = _t.time()
+    for _ in range(10):
+        st, loss = step(st, batch)
+    float(loss)
+    out[f"train_step_bs{bs}_ms"] = round((_t.time() - t0) / 10 * 1e3, 2)
 # kernels vs batch: kNN 8192^2 (cross stacks 2B), FPS (2B), gather (pool shape)
 q = b1[0]; k_ = b1[1]
 rng = np.random.RandomState(0)
