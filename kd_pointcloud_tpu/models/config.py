@@ -138,22 +138,30 @@ PRESETS = {
     # relaxation (~145 pairs/s); for a LICENSED relaxation use serving_v2.
     "serving": ModelConfig(name="serving",
                            flow_nei_per_level=(16, 16, 32, 32)),
-    # SERVING_V2: the trained-weight-LICENSED relaxation — K=16 at l0 ONLY
-    # (l1..l3 keep the reference K=32). The round-4 relaxation frontier
-    # sweep (scripts/relaxation_sweep.py, evidence/round4/job222, semitrained
-    # checkpoint, 50 scenes) shows the l1 cost volume is the sensitive one:
-    # truncating K at l1 blows the band (serving +0.054, k24@l0/l1 +0.018)
-    # while l0-only truncation is near-Pareto — l0only_16 measures EPE3D
-    # +8.8e-4 (inside the ≤1e-3 band) with the OTHER FIVE metrics all
-    # IMPROVING (ACC3DS +9e-4, ACC3DR +1.5e-3, Outliers −1.5e-3, EPE2D
-    # −2.6e-2, ACC2D +1.3e-3), at 136.6 vs production's 118.2 pairs/s under
-    # sweep conditions (+15%). Bands are DIRECTIONAL (degradation-only):
-    # an improvement cannot fail the band. Same param tree as teacher.
-    # K=24@l0 ("l0only_24") improved all six metrics at 128.8 pairs/s —
-    # users wanting a strictly-better-than-exact operating point can set
-    # flow_nei_per_level=(24, 32, 32, 32).
+    # SERVING_V2 (ROUND-5 STATUS: DEMOTED to fast-but-approximate): K=16 at
+    # l0 only. Round 4 licensed it at ONE checkpoint (sweep EPE3D 0.193:
+    # delta +8.8e-4, in band, five metrics improving — evidence/round4/
+    # job222). The round-5 REGIME-CURVE sweep (scripts/regime_curve.py,
+    # evidence/round5/regime_curve.json: 6 checkpoints spanning sweep EPE3D
+    # 0.32 → 0.058, 2 seeds, paired per-scene SEs) shows that license does
+    # NOT transfer to more accurate regimes: EPE3D delta +0.0080 at regime
+    # 0.156, +0.0037 at 0.103, +0.0023 ± 3.4e-4 at 0.058 — all OUT of the
+    # ≤1e-3 band, and the delta GROWS as flows get more accurate (the same
+    # failure mode that demoted `serving` in round 4, one level down).
+    # Kept as a quantified relaxation; the LICENSED relaxation is
+    # serving_v3 (coarse_warp), in band at every measured regime.
     "serving_v2": ModelConfig(name="serving_v2",
                               flow_nei_per_level=(16, 32, 32, 32)),
+    # SERVING_V3: the regime-robust LICENSED relaxation — reference K
+    # everywhere, coarse-warp at l0 only (the PointWarping inverse flow is
+    # built at l1 and IDW-upsampled along the decoder's existing 3-NN,
+    # skipping the l0 8192² warp search; see coarse_warp above). The
+    # round-5 regime curve measures it IN the directional band at EVERY
+    # checkpoint (EPE3D delta −2.9e-5 ± 8.3e-5 at the most accurate regime
+    # 0.058, −2.4e-4 at 0.156, +4.9e-4 at 0.193; ACC/outlier/2D deltas all
+    # inside ±3e-3/5e-2), unlike every cost-volume-K truncation tried.
+    # Same param tree as teacher — any teacher checkpoint serves unchanged.
+    "serving_v3": ModelConfig(name="serving_v3", coarse_warp=(0,)),
     # the arch trained/evaluated by the main entries and the released ckpt
     "lighttoken_res": ModelConfig(name="lighttoken_res"),
     # WeightNet-compression student (models_bid_lighttoken_weight48.py:20-53)

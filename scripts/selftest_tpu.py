@@ -265,23 +265,23 @@ def main():
                         and d[2] >= -3e-3 and d[3] <= 3e-3
                         and d[4] <= 5e-2 and d[5] >= -3e-3)
 
-        # serving_v2's licensed EPE3D delta (+8.8e-4, job 222) sits ~1.2e-4
-        # inside the generic 1e-3 band while run-to-run metric
-        # reproducibility is ~±2e-4 (layout-induced distance-tie flips) —
-        # the gate could flake on a re-run with no real regression
-        # (ADVICE r4 #1). Its gate tolerance is widened to cover the
-        # documented noise; the licensing claim itself remains the measured
-        # +8.8e-4 (evidence/round4/job222 + the round-5 regime curve).
-        _EPE3D_TOL = {"serving_v2": 1.2e-3}
+        # Gate tolerances may be widened over the generic 1e-3 band only to
+        # cover documented run-to-run metric noise (~±2e-4 layout-induced
+        # distance-tie flips, ADVICE r4 #1) — none currently needed.
+        _EPE3D_TOL = {}
 
         means = _sweep((
             ("exact", dataclasses.replace(PRESETS["teacher"],
                                           knn_method="exact",
                                           knn_precision="highest")),
             ("production", PRESETS["teacher"]),
-            # serving_v2 (K=16 at l0 ONLY): the trained-weight-LICENSED
-            # relaxation — gates metrics_ok with the directional band
-            # (models/config.py serving_v2; evidence/round4/job222)
+            # serving_v3 (coarse-warp at l0): the regime-robust LICENSED
+            # relaxation — in the directional band at every checkpoint of
+            # the round-5 regime curve (evidence/round5/regime_curve.json)
+            ("serving_v3", PRESETS["serving_v3"]),
+            # serving_v2 (K=16 at l0): DEMOTED round 5 — its round-4
+            # single-checkpoint license does not transfer across regimes
+            # (EPE3D +0.0023..+0.008 at more accurate checkpoints)
             ("serving_v2", PRESETS["serving_v2"]),
             # serving preset (l0/l1 cost-volume K=16): DEMOTED round 4 —
             # EPE3D +0.054 on trained weights, fast-but-approximate only
@@ -294,18 +294,18 @@ def main():
         results["metrics_exact"] = [round(float(x), 5)
                                     for x in means["exact"]]
         metrics_ok = True
-        for variant in ("production", "serving_v2", "serving", "fps_blocks8"):
+        for variant in ("production", "serving_v3", "serving_v2", "serving",
+                        "fps_blocks8"):
             d = means[variant] - means["exact"]
             results[f"metric_deltas_{variant}_minus_exact"] = [
                 round(float(x), 6) for x in d]
             v_ok = _in_band(d, _EPE3D_TOL.get(variant, 1e-3))
             results[f"metrics_ok_{variant}"] = v_ok
-            # serving + fps_blocks8 are QUANTIFIED-RELAXATION knobs, not
-            # equivalence claims: on trained weights serving's EPE3D delta
-            # is +0.054 (out of band — ROUND4_NOTES §3, the round-4
-            # demotion). production and serving_v2 are the LICENSED paths
-            # and gate metrics_ok.
-            if variant in ("production", "serving_v2"):
+            # serving_v2/serving/fps_blocks8 are QUANTIFIED-RELAXATION
+            # knobs, not equivalence claims (round-4/5 demotions).
+            # production and serving_v3 are the LICENSED paths and gate
+            # metrics_ok.
+            if variant in ("production", "serving_v3"):
                 metrics_ok = metrics_ok and v_ok
 
         if "--fg" in sys.argv:

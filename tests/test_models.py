@@ -71,25 +71,29 @@ def test_forward_contract(rng, preset):
 
 
 def test_serving_param_tree_identical_to_teacher(rng):
-    """The serving presets (per-level cost-volume K, models/config.py) only
-    change gather/pool widths — their parameter trees must stay bit-identical
-    in structure and shapes to the teacher's so any teacher checkpoint
-    serves unchanged. serving_v2 is the trained-weight-LICENSED variant
-    (K=16 at l0 only, ROUND4_NOTES §3); serving is the demoted
-    fast-but-approximate one (K=16 at l0/l1)."""
+    """The serving presets (models/config.py) only change gather/pool widths
+    or warp scheduling — their parameter trees must stay bit-identical in
+    structure and shapes to the teacher's so any teacher checkpoint serves
+    unchanged. serving_v3 (coarse-warp at l0) is the round-5 LICENSED
+    relaxation (in band at every regime-curve checkpoint); serving_v2
+    (K=16 at l0) and serving (K=16 at l0/l1) are demoted
+    fast-but-approximate knobs (rounds 5 and 4 respectively)."""
     small_n = (512, 256, 64, 32, 16)
     assert PRESETS["serving"].flow_nei_per_level == (16, 16, 32, 32)
     assert PRESETS["serving_v2"].flow_nei_per_level == (16, 32, 32, 32)
+    assert PRESETS["serving_v3"].coarse_warp == (0,)
     sv = dataclasses.replace(PRESETS["serving"], npoints=small_n,
                              flow_nei_per_level=(8, 16, 16, 8), feat_nei=8)
     v2 = dataclasses.replace(PRESETS["serving_v2"], npoints=small_n,
                              flow_nei_per_level=(8, 16, 16, 8), feat_nei=8)
+    v3 = dataclasses.replace(PRESETS["serving_v3"], npoints=small_n,
+                             flow_nei=16, feat_nei=8)
     tc = dataclasses.replace(PRESETS["teacher"], npoints=small_n,
                              flow_nei=16, feat_nei=8)
     inputs = make_inputs(rng, n=512)
     vt = BidPointFlowNet(tc).init(jax.random.PRNGKey(0), *inputs,
                                   train=False)
-    for cfg in (sv, v2):
+    for cfg in (sv, v2, v3):
         vs = BidPointFlowNet(cfg).init(jax.random.PRNGKey(0), *inputs,
                                        train=False)
         assert (jax.tree_util.tree_structure(vs)
