@@ -38,7 +38,7 @@ V5E_PEAK_F32_FLOPS = 49.2e12  # per chip (bf16 197 TFLOP/s Ã· 4 HIGHEST passesâ‰
 # emitted below additionally counts the 6-pass HIGHEST-precision distance
 # matmuls and is therefore NOT comparable across implementations.
 MODEL_FLOPS_PER_PAIR = 13.1e9 * 2
-PROTOCOL = "50-dispatch amortized, single sync (remote-tunnel RPC ~30ms/call)"
+PROTOCOL = "200-dispatch amortized, single sync (remote-tunnel RPC ~30ms/call)"
 
 
 def _wait_for_quiet_host(threshold: float = 1.5, max_wait_s: float = 900.0):
@@ -131,7 +131,14 @@ def main():
     # variant, then run REPS rounds visiting each variant once per round â€”
     # interleaving exposes each variant to the same drift â€” and report
     # median (headline) + min + all reps.
-    REPS, NBLK = 3, 20
+    #
+    # NBLK=200 (round 5): each block's single host sync costs one tunnel
+    # RTT (~30-40 ms on the 1-core round-5 host), which at the old NBLK=20
+    # deflated every line by ~15% (block probe, evidence/round5/job412:
+    # n20/n50/n100/n200 â†’ 116/127.5/132.4/135.0 pairs/s, flat across
+    # gap/no-gap arms â€” pure per-block sync amortization, not device
+    # drift). 200 dispatches â‰ˆ 1.4 s/block keeps the sync tail <2%.
+    REPS, NBLK = 3, 200
     teacher_reps = timed_reps(fwd, NBLK, 1)          # rep 1 (more below)
     pairs_per_s = teacher_reps[0]
     dt = 1.0 / pairs_per_s
@@ -309,7 +316,7 @@ def main():
 
         both = jnp.concatenate([batches[0][0], batches[0][1]])   # (2, N, 3)
 
-        def timed(fn, m=30):
+        def timed(fn, m=200):
             float(jnp.sum(fn()))
             t0 = time.time()
             r = None
@@ -341,7 +348,7 @@ def main():
             "knn_ff_8192x2048_k3_b2_upsample0": round(up_ms, 3),
             "other_gathers_matmuls_pools": round(
                 dt * 1e3 - fps_ms - knn_ms - warp_ms - up_ms, 2),
-            "protocol": "30-dispatch amortized, single sync",
+            "protocol": "200-dispatch amortized, single sync",
         }))
     except Exception as e:  # pragma: no cover - ledger is best-effort
         print(json.dumps({"metric": "teacher_eval_wall_ledger_ms",
