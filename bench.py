@@ -327,8 +327,12 @@ def main():
 
         fps_ms = timed(lambda: furthest_point_sample_pallas(both, 2048))
         # production-config kernels (ops/knn.py _fused_call: fuse_min,
-        # tq=512 square / tq=256 tall-skinny — round-5 A/B, job 404)
-        knn_ms = timed(lambda: knn_fused(both, both[::-1], 32, tq=512,
+        # tq=512 square / tq=256 tall-skinny — round-5 A/B, job 404).
+        # Keys precomputed OUTSIDE the timed lambda: an eager per-call
+        # both[::-1] costs its own tunnel dispatch (job 416's 9.26 ms
+        # ledger artifact).
+        both_rev = jnp.concatenate([batches[0][1], batches[0][0]])
+        knn_ms = timed(lambda: knn_fused(both, both_rev, 32, tq=512,
                                          mode="ff", fuse_min=True)[1])
         warp_ms = timed(lambda: knn_fused(batches[0][1], batches[0][0], 3,
                                           tq=512, mode="ff",
