@@ -122,6 +122,24 @@ class TestKnnFused:
         _, ie = knn_point_dist(k, x, q, method="exact", precision="highest")
         assert _recall(idx, ie) > 0.97
 
+    @pytest.mark.parametrize("mode", ["mxu", "ff"])
+    def test_fuse_min_bit_identity(self, rng, mode):
+        """fuse_min (round-5 production default, ops/knn.py:79): the
+        (tq, N2) f32 distance block never materializes — each per-G-block
+        MXU dot is packed-min'd immediately. The math is a reassociation
+        of an order-independent min, so packed outputs must be
+        BIT-IDENTICAL to the scratch-buffer path (dist AND idx), exactly
+        what scripts/selftest_tpu.py gates on hardware (job 404)."""
+        q = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
+        x = jnp.asarray(rng.randn(2, 1024, 3).astype(np.float32))
+        for k, G in ((32, 256), (3, 256), (32, 1024)):
+            d0, i0 = knn_fused(q, x, k, n_groups=G, tq=128, interpret=True,
+                               mode=mode, fuse_min=False)
+            d1, i1 = knn_fused(q, x, k, n_groups=G, tq=128, interpret=True,
+                               mode=mode, fuse_min=True)
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+            np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
     def test_ff_distance_error_bound(self, rng):
         """ff distances (debiased) track true d² within the documented
         ~1e-3 absolute + mantissa-mask error."""
