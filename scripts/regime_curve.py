@@ -58,6 +58,16 @@ def variant_cfg(name):
         "prod_cw01": dataclasses.replace(teacher, coarse_warp=(0, 1)),
         "v2_cw0": dataclasses.replace(
             teacher, flow_nei_per_level=(16, 32, 32, 32), coarse_warp=(0,)),
+        # round-5 session-3 candidates: K=24 at l0 sits halfway between the
+        # exact K=32 and the demoted K=16 (whose delta GROWS with accuracy);
+        # job 418 showed the cost-volume K family is the single largest
+        # share of the eval wall, so an in-band K wins real latency.
+        "prod_k24l0": dataclasses.replace(
+            teacher, flow_nei_per_level=(24, 32, 32, 32)),
+        "k24l0_cw0": dataclasses.replace(
+            teacher, flow_nei_per_level=(24, 32, 32, 32), coarse_warp=(0,)),
+        "prod_k24l01": dataclasses.replace(
+            teacher, flow_nei_per_level=(24, 24, 32, 32)),
     }
     return table[name]
 
