@@ -141,7 +141,6 @@ def main():
     REPS, NBLK = 3, 200
     teacher_reps = timed_reps(fwd, NBLK, 1)          # rep 1 (more below)
     pairs_per_s = teacher_reps[0]
-    dt = 1.0 / pairs_per_s
 
     # ---- train-step throughput (bs=3, the reference training batch size,
     # train_bid_pointconv.py:138) with a SELF-MEASURED target: the bs=1
@@ -309,6 +308,11 @@ def main():
     # serial-latency components, measured in THIS run under the same
     # protocol; "other" = model wall minus these (row gathers + matmuls +
     # pools + elementwise, which fuse and can't be timed standalone).
+    # Components are timed HERE; the line itself prints at the end against
+    # the teacher's final interleaved MEDIAN wall, so the ledger and the
+    # headline describe the same number (round-5 review finding #7 — the
+    # old rep-1 wall put the ±4% run-to-run swing entirely into "other").
+    ledger = None
     try:
         from kd_pointcloud_tpu.ops.pallas.fps_pallas import \
             furthest_point_sample_pallas
@@ -341,19 +345,7 @@ def main():
                                    batches[0][1][:, :2048]])
         up_ms = timed(lambda: knn_fused(both, up_keys, 3, tq=256,
                                         mode="ff", fuse_min=True)[1])
-        print(json.dumps({
-            "metric": "teacher_eval_wall_ledger_ms",
-            "value": round(dt * 1e3, 2),
-            "unit": "ms/pair",
-            "vs_baseline": None,
-            "fps_b2_8192_to_2048": round(fps_ms, 3),
-            "knn_ff_8192sq_k32_b2_cross0": round(knn_ms, 3),
-            "knn_ff_8192sq_k3_b1_warp0": round(warp_ms, 3),
-            "knn_ff_8192x2048_k3_b2_upsample0": round(up_ms, 3),
-            "other_gathers_matmuls_pools": round(
-                dt * 1e3 - fps_ms - knn_ms - warp_ms - up_ms, 2),
-            "protocol": "200-dispatch amortized, single sync",
-        }))
+        ledger = (fps_ms, knn_ms, warp_ms, up_ms)
     except Exception as e:  # pragma: no cover - ledger is best-effort
         print(json.dumps({"metric": "teacher_eval_wall_ledger_ms",
                           "error": str(e)[:200]}))
@@ -367,110 +359,103 @@ def main():
     # of random-init flows). These lines are therefore labeled
     # fast-but-approximate; the headline (LAST line) is the production
     # teacher, whose trained-weight delta is +7.1e-5 (14x inside band).
-    serving_reps, v2_reps, v3_reps, s3_pairs = [], [], [], None
-    try:
-        s_model = BidPointFlowNet(PRESETS["serving"])
-        s_fwd = jax.jit(lambda v, a, b, c, d:
-                        s_model.apply(v, a, b, c, d,
+    # Per-variant compile/timing/printing is isolated so one preset's
+    # failure cannot suppress or misattribute another's line, and no metric
+    # key can be emitted twice (round-5 review finding #2).
+    VARIANTS = {
+        "serving": ("serving preset (cost-volume K=16 at l0/l1, K=32 "
+                    "at l2/l3; teacher params)",
+                    "FAST-BUT-APPROXIMATE: EPE3D +0.054 vs exact "
+                    "on the semitrained trained-regime ckpt "
+                    "(out of the ≤1e-3 band; ROUND4_NOTES §3)"),
+        "serving_v2": ("serving_v2 preset (cost-volume K=16 at l0 only; "
+                       "teacher params)",
+                       "FAST-BUT-APPROXIMATE (round-5 demotion): the "
+                       "round-4 single-checkpoint license does not "
+                       "transfer across regimes — EPE3D +0.0023..+0.008 "
+                       "at more accurate checkpoints "
+                       "(evidence/round5/regime_curve.json)"),
+        "serving_v3": ("serving_v3 preset (coarse-warp at l0, reference K "
+                       "everywhere; teacher params)",
+                       "LICENSED across the regime curve (directional "
+                       "band at every checkpoint, 2 seeds, paired SEs: "
+                       "EPE3D -2.9e-5 at the most accurate regime — "
+                       "evidence/round5/regime_curve.json)"),
+    }
+    v_fwd, v_reps = {}, {}
+    for vname in VARIANTS:
+        try:
+            v_model = BidPointFlowNet(PRESETS[vname])
+            f = jax.jit(lambda v, a, b, c, d, v_model=v_model:
+                        v_model.apply(v, a, b, c, d,
                                       train=False)["flows"][0])
-        v2_model = BidPointFlowNet(PRESETS["serving_v2"])
-        v2_fwd = jax.jit(lambda v, a, b, c, d:
-                         v2_model.apply(v, a, b, c, d,
-                                        train=False)["flows"][0])
-        v3_model = BidPointFlowNet(PRESETS["serving_v3"])
-        v3_fwd = jax.jit(lambda v, a, b, c, d:
-                         v3_model.apply(v, a, b, c, d,
-                                        train=False)["flows"][0])
-        float(jnp.sum(s_fwd(variables, *batches[0])))
-        float(jnp.sum(v2_fwd(variables, *batches[0])))
-        float(jnp.sum(v3_fwd(variables, *batches[0])))
+            float(jnp.sum(f(variables, *batches[0])))
+            v_fwd[vname], v_reps[vname] = f, []
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({
+                "metric": f"{vname}_eval_throughput_8192pts_bs1",
+                "error": str(e)[:200]}))
 
-        # interleaved reps: each round times every variant under the same
-        # host/drift conditions
-        serving_reps += timed_reps(s_fwd, NBLK, 1)
-        v2_reps += timed_reps(v2_fwd, NBLK, 1)
-        v3_reps += timed_reps(v3_fwd, NBLK, 1)
+    # interleaved reps: each round times every variant under the same
+    # host/drift conditions; a mid-flight failure leaves every already-
+    # collected rep intact (each line reports its actual rep count)
+    try:
+        for vname, f in v_fwd.items():
+            v_reps[vname] += timed_reps(f, NBLK, 1)
         for _ in range(REPS - 1):
             teacher_reps += timed_reps(fwd, NBLK, 1)
-            v3_reps += timed_reps(v3_fwd, NBLK, 1)
-            v2_reps += timed_reps(v2_fwd, NBLK, 1)
-            serving_reps += timed_reps(s_fwd, NBLK, 1)
-
-        # throughput mode: batch 3 pairs/dispatch (gathers no longer
-        # degrade with batch after the flat-index rewrite, ops/gather.py)
-        batches3 = [tuple(jnp.concatenate([x] * 3) for x in bb)
-                    for bb in batches]
-        float(jnp.sum(s_fwd(variables, *batches3[0])))
-        M3 = 20
-        t0 = time.time()
-        out = None
-        for i in range(M3):
-            out = s_fwd(variables, *batches3[i % len(batches3)])
-        float(jnp.sum(out))
-        s3_pairs = 3 * M3 / (time.time() - t0)
-        print(json.dumps({
-            "metric": "serving_eval_throughput_8192pts_bs3",
-            "value": round(s3_pairs, 2),
-            "unit": "pairs/sec/chip",
-            "vs_baseline": round(s3_pairs / BASELINE_PAIRS_PER_S, 2),
-            "config": "serving preset, batch-3 throughput mode (bs=1 "
-                      "latency line below is the headline)",
-            "protocol": "20-dispatch amortized, single sync",
-        }))
-        s_med = float(np.median(serving_reps))
-        print(json.dumps({
-            "metric": "serving_eval_throughput_8192pts_bs1",
-            "value": round(s_med, 2),
-            "unit": "pairs/sec/chip",
-            "vs_baseline": round(s_med / BASELINE_PAIRS_PER_S, 2),
-            "value_min": round(min(serving_reps), 2),
-            "reps": [round(v, 2) for v in serving_reps],
-            "config": "serving preset (cost-volume K=16 at l0/l1, K=32 "
-                      "at l2/l3; teacher params)",
-            "metric_deltas": "FAST-BUT-APPROXIMATE: EPE3D +0.054 vs exact "
-                             "on the semitrained trained-regime ckpt "
-                             "(out of the ≤1e-3 band; ROUND4_NOTES §3)",
-            "loadavg_1m": round(host_load, 2),
-            "protocol": PROTOCOL,
-        }))
-        v2_med = float(np.median(v2_reps))
-        print(json.dumps({
-            "metric": "serving_v2_eval_throughput_8192pts_bs1",
-            "value": round(v2_med, 2),
-            "unit": "pairs/sec/chip",
-            "vs_baseline": round(v2_med / BASELINE_PAIRS_PER_S, 2),
-            "value_min": round(min(v2_reps), 2),
-            "reps": [round(v, 2) for v in v2_reps],
-            "config": "serving_v2 preset (cost-volume K=16 at l0 only; "
-                      "teacher params)",
-            "metric_deltas": "FAST-BUT-APPROXIMATE (round-5 demotion): the "
-                             "round-4 single-checkpoint license does not "
-                             "transfer across regimes — EPE3D +0.0023..+0.008 "
-                             "at more accurate checkpoints "
-                             "(evidence/round5/regime_curve.json)",
-            "loadavg_1m": round(host_load, 2),
-            "protocol": PROTOCOL,
-        }))
-        v3_med = float(np.median(v3_reps))
-        print(json.dumps({
-            "metric": "serving_v3_eval_throughput_8192pts_bs1",
-            "value": round(v3_med, 2),
-            "unit": "pairs/sec/chip",
-            "vs_baseline": round(v3_med / BASELINE_PAIRS_PER_S, 2),
-            "value_min": round(min(v3_reps), 2),
-            "reps": [round(v, 2) for v in v3_reps],
-            "config": "serving_v3 preset (coarse-warp at l0, reference K "
-                      "everywhere; teacher params)",
-            "metric_deltas": "LICENSED across the regime curve (directional "
-                             "band at every checkpoint, 2 seeds, paired SEs: "
-                             "EPE3D -2.9e-5 at the most accurate regime — "
-                             "evidence/round5/regime_curve.json)",
-            "loadavg_1m": round(host_load, 2),
-            "protocol": PROTOCOL,
-        }))
+            for vname, f in reversed(list(v_fwd.items())):
+                v_reps[vname] += timed_reps(f, NBLK, 1)
     except Exception as e:  # pragma: no cover
-        print(json.dumps({"metric": "serving_eval_throughput_8192pts_bs1",
+        print(json.dumps({"metric": "interleave_reps",
                           "error": str(e)[:200]}))
+
+    # throughput mode: batch 3 pairs/dispatch (gathers no longer
+    # degrade with batch after the flat-index rewrite, ops/gather.py)
+    if "serving" in v_fwd:
+        try:
+            s_fwd = v_fwd["serving"]
+            batches3 = [tuple(jnp.concatenate([x] * 3) for x in bb)
+                        for bb in batches]
+            float(jnp.sum(s_fwd(variables, *batches3[0])))
+            M3 = 20
+            t0 = time.time()
+            out = None
+            for i in range(M3):
+                out = s_fwd(variables, *batches3[i % len(batches3)])
+            float(jnp.sum(out))
+            s3_pairs = 3 * M3 / (time.time() - t0)
+            print(json.dumps({
+                "metric": "serving_eval_throughput_8192pts_bs3",
+                "value": round(s3_pairs, 2),
+                "unit": "pairs/sec/chip",
+                "vs_baseline": round(s3_pairs / BASELINE_PAIRS_PER_S, 2),
+                "config": "serving preset, batch-3 throughput mode (bs=1 "
+                          "latency line below is the headline)",
+                "protocol": "20-dispatch amortized, single sync",
+            }))
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({"metric": "serving_eval_throughput_8192pts_bs3",
+                              "error": str(e)[:200]}))
+
+    for vname, (config, deltas) in VARIANTS.items():
+        reps = v_reps.get(vname)
+        if not reps:
+            continue
+        med = float(np.median(reps))
+        print(json.dumps({
+            "metric": f"{vname}_eval_throughput_8192pts_bs1",
+            "value": round(med, 2),
+            "unit": "pairs/sec/chip",
+            "vs_baseline": round(med / BASELINE_PAIRS_PER_S, 2),
+            "value_min": round(min(reps), 2),
+            "reps": [round(v, 2) for v in reps],
+            "config": config,
+            "metric_deltas": deltas,
+            "loadavg_1m": round(host_load, 2),
+            "protocol": PROTOCOL + "; median of %d interleaved reps"
+                        % len(reps),
+        }))
 
     # ---- HEADLINE (last line; the driver records it): the production
     # teacher — approx ff-kNN at K=32, exact FPS — whose six-metric deltas
@@ -480,6 +465,23 @@ def main():
     # interleaved reps; min and all reps are reported alongside so the 5×
     # claim is falsifiable against run-to-run variance (VERDICT r4 weak #1).
     t_med = float(np.median(teacher_reps))
+    if ledger is not None:
+        fps_ms, knn_ms, warp_ms, up_ms = ledger
+        wall_ms = 1e3 / t_med
+        print(json.dumps({
+            "metric": "teacher_eval_wall_ledger_ms",
+            "value": round(wall_ms, 2),
+            "unit": "ms/pair",
+            "vs_baseline": None,
+            "fps_b2_8192_to_2048": round(fps_ms, 3),
+            "knn_ff_8192sq_k32_b2_cross0": round(knn_ms, 3),
+            "knn_ff_8192sq_k3_b1_warp0": round(warp_ms, 3),
+            "knn_ff_8192x2048_k3_b2_upsample0": round(up_ms, 3),
+            "other_gathers_matmuls_pools": round(
+                wall_ms - fps_ms - knn_ms - warp_ms - up_ms, 2),
+            "protocol": "200-dispatch amortized, single sync; wall = "
+                        "headline median",
+        }))
     print(json.dumps({
         "metric": "teacher_eval_throughput_8192pts_bs1",
         "value": round(t_med, 2),
@@ -489,7 +491,8 @@ def main():
         "vs_baseline_min": round(min(teacher_reps) / BASELINE_PAIRS_PER_S, 2),
         "reps": [round(v, 2) for v in teacher_reps],
         "loadavg_1m": round(host_load, 2),
-        "protocol": PROTOCOL + "; median of %d interleaved reps" % REPS,
+        "protocol": PROTOCOL + "; median of %d interleaved reps"
+                    % len(teacher_reps),
     }))
 
 

@@ -225,8 +225,11 @@ def _extract_topk(acc, n_groups, k, extract, stage_a, out_ref):
     # extraction still selects exactly one lane per round.
     # k <= 32 is the LICENSED stage-A regime (recall 0.987 measured at k=32;
     # expected loss grows ~C(k,5)/128^4 — k=48 ≈ 5e-3, k=64 ≈ 2e-2, well
-    # above the 7.5e-4 licensed at k=32). Callers with k in (32, 64] must
-    # opt in explicitly after re-licensing (ADVICE r4 #2).
+    # above the 7.5e-4 licensed at k=32), so the k-bound is HARD-CODED
+    # here: stage_a=True cannot enable the network for k > 32 (ADVICE r4
+    # #2). A k in (32, 64] caller always gets the serial full-G extraction
+    # (slower, exact); widening the licensed regime means re-measuring
+    # recall on-chip and then relaxing this bound, not a caller-side flag.
     if stage_a and k <= 32 and G == 1024:
         v = [acc[:, i * 128:(i + 1) * 128] for i in range(8)]
 

@@ -35,23 +35,14 @@ import numpy as np
 
 from evidence_data import load_msgpack_tree
 
-BAND = (1e-3, 3e-3, 3e-3, 3e-3, 5e-2, 3e-3)
-LOWER_BETTER = (True, False, False, True, True, False)
-
-
-def in_band(d):
-    return bool(all((x <= b) if lb else (x >= -b)
-                    for x, b, lb in zip(d, BAND, LOWER_BETTER)))
+from kd_pointcloud_tpu.eval.licensing import in_band, load_scenes
+from kd_pointcloud_tpu.eval.licensing import sweep_rows as _sweep_rows
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
-    from kd_pointcloud_tpu.data import KITTI, ProcessData
-    from kd_pointcloud_tpu.eval.geometry import get_batch_2d_flow
-    from kd_pointcloud_tpu.eval.metrics import evaluate_2d, evaluate_3d
-    from kd_pointcloud_tpu.models import PRESETS, BidPointFlowNet
+    from kd_pointcloud_tpu.models import PRESETS
     from kd_pointcloud_tpu.utils.fixtures import fixture_path
 
     def _arg(flag, default):
@@ -85,28 +76,10 @@ def main():
     params, stats = load_msgpack_tree(ckpt)
     variables = jax.device_put({"params": params, "batch_stats": stats})
 
-    ds = KITTI(train=False, transform=ProcessData(num_points=8192))
-    scenes = []
-    for i in range(n_scenes):
-        pc1s, pc2s, _, _, sf, path = ds[i]
-        scenes.append((pc1s, pc2s, sf, path))
+    scenes = load_scenes(n_scenes)
 
     def sweep_rows(cfg):
-        model = BidPointFlowNet(cfg)
-        fwd = jax.jit(lambda vv, a, b, mm=model: mm.apply(
-            vv, a, b, a, b, train=False)["flows"][0])
-        rows = []
-        for pc1s, pc2s, sf, path in scenes:
-            pred = fwd(variables, jnp.asarray(pc1s[None]),
-                       jnp.asarray(pc2s[None]))
-            pred = np.asarray(pred[-1] if isinstance(pred, list)
-                              else pred)[0]
-            epe3d, a3s, a3r, outl = evaluate_3d(pred, sf)
-            f2d_pred, f2d_gt = get_batch_2d_flow(
-                pc1s[None], (pc1s + sf)[None], (pc1s + pred)[None], [path])
-            epe2d, a2d = evaluate_2d(f2d_pred[0], f2d_gt[0])
-            rows.append([epe3d, a3s, a3r, outl, epe2d, a2d])
-        return np.asarray(rows)
+        return _sweep_rows(cfg, variables, scenes)
 
     result = {"preset": preset, "ckpt": ckpt, "n_scenes": n_scenes,
               "arms": {}}

@@ -124,8 +124,10 @@ def main():
     t_preset = _arg("--teacher", "bifeat" if fast else "teacher")
     t_model = BidPointFlowNet(PRESETS[t_preset])
     from kd_pointcloud_tpu.utils.fixtures import fixture_path
-    t_ckpt = _arg("--teacher-ckpt",
-                  fixture_path(f"semitrained_{t_preset}.msgpack")
+    if "--teacher-ckpt" in sys.argv:            # don't hydrate an unused
+        t_ckpt = _arg("--teacher-ckpt", None)   # 17-31 MB fixture copy
+    else:
+        t_ckpt = (fixture_path(f"semitrained_{t_preset}.msgpack")
                   or osp.join(FIXTURE_DIR,
                               f"semitrained_{t_preset}.msgpack"))
     t_params, t_stats = load_msgpack_tree(t_ckpt)

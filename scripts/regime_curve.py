@@ -35,14 +35,7 @@ import numpy as np
 
 from evidence_data import load_msgpack_tree
 
-# directional band (degradation-only): order [epe3d a3s a3r outl epe2d a2d]
-BAND = (1e-3, 3e-3, 3e-3, 3e-3, 5e-2, 3e-3)
-LOWER_BETTER = (True, False, False, True, True, False)
-
-
-def in_band(d):
-    return bool(all((x <= b) if lb else (x >= -b)
-                    for x, b, lb in zip(d, BAND, LOWER_BETTER)))
+from kd_pointcloud_tpu.eval.licensing import in_band, load_scenes, sweep_rows
 
 
 def variant_cfg(name):
@@ -74,56 +67,34 @@ def variant_cfg(name):
 
 def main():
     import jax
-    import jax.numpy as jnp
-
-    from kd_pointcloud_tpu.data import KITTI, ProcessData
-    from kd_pointcloud_tpu.eval.geometry import get_batch_2d_flow
-    from kd_pointcloud_tpu.eval.metrics import evaluate_2d, evaluate_3d
-    from kd_pointcloud_tpu.models import BidPointFlowNet
 
     def _arg(flag, default):
         return (sys.argv[sys.argv.index(flag) + 1]
                 if flag in sys.argv else default)
 
-    ckpts = _arg("--ckpts", "").split(",")
+    ckpts = [c for c in _arg("--ckpts", "").split(",") if c]
+    if not ckpts:
+        sys.exit("usage: regime_curve.py --ckpts p1,p2,... "
+                 "[--scenes N] [--variants a,b,...] [--out PATH]")
     n_scenes = int(_arg("--scenes", 50))
     variants = _arg("--variants",
                     "production,serving_v2,prod_cw0,v2_cw0").split(",")
     out_path = _arg("--out", None)
 
-    ds = KITTI(train=False, transform=ProcessData(num_points=8192))
-    scenes = []
-    for i in range(n_scenes):
-        pc1s, pc2s, _, _, sf, path = ds[i]
-        scenes.append((pc1s, pc2s, sf, path))
-
-    def sweep_rows(cfg, variables):
-        model = BidPointFlowNet(cfg)
-        fwd = jax.jit(lambda vv, a, b, mm=model: mm.apply(
-            vv, a, b, a, b, train=False)["flows"][0])
-        rows = []
-        for pc1s, pc2s, sf, path in scenes:
-            pred = np.asarray(fwd(variables, jnp.asarray(pc1s[None]),
-                                  jnp.asarray(pc2s[None])))[0]
-            epe3d, a3s, a3r, outl = evaluate_3d(pred, sf)
-            f2d_pred, f2d_gt = get_batch_2d_flow(
-                pc1s[None], (pc1s + sf)[None], (pc1s + pred)[None], [path])
-            epe2d, a2d = evaluate_2d(f2d_pred[0], f2d_gt[0])
-            rows.append([epe3d, a3s, a3r, outl, epe2d, a2d])
-        return np.asarray(rows)                    # (S, 6)
+    scenes = load_scenes(n_scenes)
 
     curve = []
     for ckpt in ckpts:
         params, stats = load_msgpack_tree(ckpt)
         variables = jax.device_put({"params": params, "batch_stats": stats})
-        exact_rows = sweep_rows(variant_cfg("exact"), variables)
+        exact_rows = sweep_rows(variant_cfg("exact"), variables, scenes)
         point = {"ckpt": ckpt,
                  "exact_metrics": [round(float(x), 5)
                                    for x in exact_rows.mean(0)],
                  "regime_epe3d": round(float(exact_rows.mean(0)[0]), 5),
                  "variants": {}}
         for name in variants:
-            rows = sweep_rows(variant_cfg(name), variables)
+            rows = sweep_rows(variant_cfg(name), variables, scenes)
             d_rows = rows - exact_rows             # paired per-scene deltas
             d = d_rows.mean(0)
             se = d_rows.std(0, ddof=1) / np.sqrt(d_rows.shape[0])

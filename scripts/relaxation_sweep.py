@@ -28,32 +28,24 @@ import numpy as np
 from evidence_data import load_msgpack_tree
 
 _REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
-DEFAULT_CKPT = next(
-    (p for p in ("/tmp/kdpc_train_parity/semitrained_teacher.msgpack",
-                 osp.join(_REPO, "evidence", "checkpoints",
-                          "semitrained_teacher.msgpack"))
-     if osp.exists(p)),
-    "/tmp/kdpc_train_parity/semitrained_teacher.msgpack")
+sys.path.insert(0, _REPO)
+from kd_pointcloud_tpu.utils.fixtures import fixture_path  # noqa: E402
 
-# thresholds mirror tests/test_eval_parity.py::TestProductionPathMetrics;
-# DIRECTIONAL (degradation-only, ROUND4_NOTES §3): improvements can't fail.
-# order: [epe3d acc3ds acc3dr outliers epe2d acc2d]; signs: +1 lower-better
-BAND = (1e-3, 3e-3, 3e-3, 3e-3, 5e-2, 3e-3)
-LOWER_BETTER = (True, False, False, True, True, False)
+# resolves to the round-5 18k teacher (evidence alias), refreshing a stale
+# /tmp cache — see utils/fixtures.py
+DEFAULT_CKPT = (fixture_path("semitrained_teacher.msgpack")
+                or "/tmp/kdpc_train_parity/semitrained_teacher.msgpack")
 
-
-def in_band(d):
-    return bool(all((x <= b) if lb else (x >= -b)
-                    for x, b, lb in zip(d, BAND, LOWER_BETTER)))
+# DIRECTIONAL band (degradation-only, ROUND4_NOTES §3) — the shared
+# licensing criterion (kd_pointcloud_tpu/eval/licensing.py)
+from kd_pointcloud_tpu.eval.licensing import (in_band, load_scenes,  # noqa: E402
+                                              sweep_rows)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from kd_pointcloud_tpu.data import KITTI, ProcessData
-    from kd_pointcloud_tpu.eval.geometry import get_batch_2d_flow
-    from kd_pointcloud_tpu.eval.metrics import evaluate_2d, evaluate_3d
     from kd_pointcloud_tpu.models import PRESETS, BidPointFlowNet
 
     def _arg(flag, default):
@@ -74,11 +66,7 @@ def main():
     import jax as _jax
     variables = _jax.device_put({"params": params, "batch_stats": stats})
 
-    ds = KITTI(train=False, transform=ProcessData(num_points=8192))
-    scenes = []
-    for i in range(n_scenes):
-        pc1s, pc2s, _, _, sf, path = ds[i]
-        scenes.append((pc1s, pc2s, sf, path))
+    scenes = load_scenes(n_scenes)
 
     teacher = PRESETS["teacher"]
     variants = [
@@ -116,16 +104,7 @@ def main():
         model = BidPointFlowNet(cfg)
         fwd = jax.jit(lambda vv, a, b, mm=model: mm.apply(
             vv, a, b, a, b, train=False)["flows"][0])
-        rows = []
-        for pc1s, pc2s, sf, path in scenes:
-            pred = np.asarray(fwd(variables, jnp.asarray(pc1s[None]),
-                                  jnp.asarray(pc2s[None])))[0]
-            epe3d, a3s, a3r, outl = evaluate_3d(pred, sf)
-            f2d_pred, f2d_gt = get_batch_2d_flow(
-                pc1s[None], (pc1s + sf)[None], (pc1s + pred)[None], [path])
-            epe2d, a2d = evaluate_2d(f2d_pred[0], f2d_gt[0])
-            rows.append([epe3d, a3s, a3r, outl, epe2d, a2d])
-        means[name] = np.mean(np.asarray(rows), axis=0)
+        means[name] = sweep_rows(cfg, variables, scenes, fwd=fwd).mean(0)
 
         # bs=1 dispatch-amortized throughput (bench.py protocol: pre-staged
         # device inputs, back-to-back dispatches, single sync)

@@ -184,8 +184,6 @@ def main():
         import os.path as osp
 
         from kd_pointcloud_tpu.data import KITTI, ProcessData
-        from kd_pointcloud_tpu.eval.geometry import get_batch_2d_flow
-        from kd_pointcloud_tpu.eval.metrics import evaluate_2d, evaluate_3d
         from kd_pointcloud_tpu.models import PRESETS, BidPointFlowNet
         from kd_pointcloud_tpu.models.torch_import import load_torch_checkpoint
 
@@ -206,18 +204,18 @@ def main():
         # regime that licenses approximations), then the 16-scene overfit
         # fixture (round-4 finding: its sweep-scene EPE3D ~0.73 is no more
         # "trained regime" than random init), then random init.
-        repo_root = osp.dirname(osp.dirname(osp.abspath(__file__)))
-        candidates = ("/tmp/kdpc_train_parity/semitrained_teacher.msgpack",
-                      # repo-persisted copy (round-4: a host reboot wiped
-                      # /tmp mid-round; the fixture now survives in git) —
-                      # derived from __file__ so the selftest finds it from
-                      # any checkout location (ADVICE r4 #3)
-                      osp.join(repo_root, "evidence", "checkpoints",
-                               "semitrained_teacher.msgpack"),
+        # fixture_path resolves to the round-5 18k teacher (aliased in
+        # evidence/fixtures as semitrained_teacher_18k.msgpack) and
+        # REFRESHES a stale /tmp cache — after a host wipe this keeps the
+        # gate on the SAME regime instead of silently falling back to the
+        # round-4 6k checkpoint (ADVICE r4 #3 + round-5 review finding #1)
+        from kd_pointcloud_tpu.utils.fixtures import fixture_path
+        candidates = (fixture_path("semitrained_teacher.msgpack"),
                       "/tmp/kdpc_train_parity/overfit_final.pth",
                       "/tmp/kdpc_eval_parity/ref_eval_random.pth")
         sd_path = _arg("--ckpt", next((c for c in candidates
-                                       if osp.exists(c)), candidates[-1]))
+                                       if c and osp.exists(c)),
+                                      candidates[-1]))
         n_scenes = int(_arg("--scenes", 50))
         params, stats = _load_tree(sd_path)
         results["metrics_ckpt"] = sd_path
@@ -226,6 +224,15 @@ def main():
         for i in range(n_scenes):
             pc1s, pc2s, _, _, sf, path = ds[i]
             scenes.append((pc1s, pc2s, sf, path))
+
+        # The licensing criterion (DIRECTIONAL degradation-only band) and
+        # the per-scene sweep live in eval/licensing.py, shared with
+        # relaxation_sweep/fg_probe/regime_curve so a band change lands
+        # everywhere at once. Per-variant tolerance widening (ADVICE r4
+        # #1) became moot when serving_v2 — the one variant near its band
+        # edge — was demoted from gating in round 5.
+        from kd_pointcloud_tpu.eval.licensing import in_band as _in_band
+        from kd_pointcloud_tpu.eval.licensing import sweep_rows
 
         def _sweep(variants, params, stats):
             means = {}
@@ -236,39 +243,8 @@ def main():
             vv_dev = jax.device_put({"params": params,
                                      "batch_stats": stats})
             for name, cfg in variants:
-                model = BidPointFlowNet(cfg)
-                fwd = jax.jit(lambda vv, a, b, mm=model: mm.apply(
-                    vv, a, b, a, b, train=False)["flows"][0])
-                rows = []
-                for pc1s, pc2s, sf, path in scenes:
-                    pred = fwd(vv_dev,
-                               jnp.asarray(pc1s[None]),
-                               jnp.asarray(pc2s[None]))
-                    pred = np.asarray(pred[-1] if isinstance(pred, list)
-                                      else pred)[0]
-                    epe3d, a3s, a3r, outl = evaluate_3d(pred, sf)
-                    f2d_pred, f2d_gt = get_batch_2d_flow(
-                        pc1s[None], (pc1s + sf)[None], (pc1s + pred)[None],
-                        [path])
-                    epe2d, a2d = evaluate_2d(f2d_pred[0], f2d_gt[0])
-                    rows.append([epe3d, a3s, a3r, outl, epe2d, a2d])
-                means[name] = np.mean(np.asarray(rows), axis=0)
+                means[name] = sweep_rows(cfg, vv_dev, scenes).mean(0)
             return means
-
-        def _in_band(d, epe3d_tol=1e-3):
-            """DIRECTIONAL (degradation-only) six-metric band: an
-            improvement cannot fail the band (ROUND4_NOTES §3). Metric
-            order [epe3d acc3ds acc3dr outl epe2d acc2d]; EPE/Outliers are
-            lower-better (delta must not EXCEED +tol), ACC* higher-better
-            (delta must not fall BELOW −tol)."""
-            return bool(d[0] <= epe3d_tol and d[1] >= -3e-3
-                        and d[2] >= -3e-3 and d[3] <= 3e-3
-                        and d[4] <= 5e-2 and d[5] >= -3e-3)
-
-        # Gate tolerances may be widened over the generic 1e-3 band only to
-        # cover documented run-to-run metric noise (~±2e-4 layout-induced
-        # distance-tie flips, ADVICE r4 #1) — none currently needed.
-        _EPE3D_TOL = {}
 
         means = _sweep((
             ("exact", dataclasses.replace(PRESETS["teacher"],
@@ -299,7 +275,7 @@ def main():
             d = means[variant] - means["exact"]
             results[f"metric_deltas_{variant}_minus_exact"] = [
                 round(float(x), 6) for x in d]
-            v_ok = _in_band(d, _EPE3D_TOL.get(variant, 1e-3))
+            v_ok = _in_band(d)
             results[f"metrics_ok_{variant}"] = v_ok
             # serving_v2/serving/fps_blocks8 are QUANTIFIED-RELAXATION
             # knobs, not equivalence claims (round-4/5 demotions).

@@ -159,6 +159,17 @@ def main():
              losses=np.asarray(losses, np.float64),
              held=np.asarray(held_curve, np.float64),
              trainsub=np.asarray(trainsub_curve, np.float64))
+    # a multi-hour run must survive a host wipe the moment it finishes
+    # (VERDICT r4 weak #5; utils/fixtures.py contract) — persist best +
+    # curve in-repo immediately. Pass --no-persist for throwaway probes
+    # (the 31.8 MB best tree is the licensing fixture; _final and the
+    # --save-at regime dumps stay /tmp-only unless persisted by hand,
+    # ADVICE r4 #4 blob-bloat tradeoff, regeneration documented here).
+    if "--no-persist" not in sys.argv:
+        from kd_pointcloud_tpu.utils.fixtures import persist_fixture
+        for name in (f"semitrained_{preset}{sfx}.msgpack",
+                     f"semitrained_{preset}{sfx}_curve.npz"):
+            print(f"persisted {persist_fixture(name)}", flush=True)
     print(f"done: best held-out epe {best[0]:.4f}; final train-sub epe "
           f"{trainsub_curve[-1][1]:.4f} -> semitrained_{preset}.msgpack",
           flush=True)
