@@ -116,9 +116,66 @@ class TestFixtureResolver:
         p = fixtures.fixture_path("a.npz", str(cache))
         assert p is not None and open(p, "rb").read() == b"payload"
 
+    def test_stale_cache_refreshed_from_evidence(self, tmp_path,
+                                                 monkeypatch):
+        """Round-5 review finding #1: a pre-existing stale /tmp cache must
+        not shadow a newer committed evidence fixture — licensing deltas
+        would be computed on the wrong checkpoint while logging a
+        correct-looking path."""
+        from kd_pointcloud_tpu.utils import fixtures
+
+        cache = tmp_path / "cache"
+        evid = tmp_path / "evidence"
+        cache.mkdir(), evid.mkdir()
+        monkeypatch.setattr(fixtures, "EVIDENCE_DIR", str(evid))
+        monkeypatch.setattr(fixtures, "CHECKPOINT_DIR",
+                            str(tmp_path / "none"))
+
+        (cache / "a.npz").write_bytes(b"stale-old-run")
+        (evid / "a.npz").write_bytes(b"committed")
+        p = fixtures.fixture_path("a.npz", str(cache))
+        assert open(p, "rb").read() == b"committed"
+        # and the refreshed cache now (size, mtime)-matches → no re-copy
+        # churn on subsequent lookups (mtime preserved by copy2)
+        s = osp.getmtime(p)
+        assert fixtures.fixture_path("a.npz", str(cache)) == p
+        assert osp.getmtime(p) == s
+
+    def test_alias_resolves_and_direct_name_wins(self, tmp_path,
+                                                 monkeypatch):
+        """The semitrained_teacher alias must resolve to the round-5 18k
+        evidence fixture, NOT round-4's same-named 6k checkpoint in
+        CHECKPOINT_DIR; a freshly persisted direct-name fixture takes
+        precedence over the alias."""
+        from kd_pointcloud_tpu.utils import fixtures
+
+        cache = tmp_path / "cache"
+        evid = tmp_path / "evidence"
+        legacy = tmp_path / "legacy"
+        cache.mkdir(), evid.mkdir(), legacy.mkdir()
+        monkeypatch.setattr(fixtures, "EVIDENCE_DIR", str(evid))
+        monkeypatch.setattr(fixtures, "CHECKPOINT_DIR", str(legacy))
+        monkeypatch.setattr(fixtures, "_ALIASES",
+                            {"t.msgpack": "t_18k.msgpack"})
+
+        (legacy / "t.msgpack").write_bytes(b"round4-6k")
+        (evid / "t_18k.msgpack").write_bytes(b"round5-18k")
+        p = fixtures.fixture_path("t.msgpack", str(cache))
+        assert open(p, "rb").read() == b"round5-18k"
+
+        (evid / "t.msgpack").write_bytes(b"fresh-regen")
+        p = fixtures.fixture_path("t.msgpack", str(cache))
+        assert open(p, "rb").read() == b"fresh-regen"
+
     def test_real_evidence_store_resolves(self):
-        """The round-4 semitrained teacher checkpoint is committed under
-        evidence/checkpoints and must resolve via the fixture API."""
-        from kd_pointcloud_tpu.utils.fixtures import CHECKPOINT_DIR
+        """The semitrained licensing checkpoints are committed in-repo and
+        must resolve via the fixture API — including the teacher alias to
+        the round-5 18k regime (NOT round-4's same-named 6k checkpoint)."""
+        from kd_pointcloud_tpu.utils.fixtures import (_ALIASES,
+                                                      CHECKPOINT_DIR,
+                                                      EVIDENCE_DIR)
         assert osp.exists(osp.join(CHECKPOINT_DIR,
                                    "semitrained_teacher.msgpack"))
+        assert osp.exists(
+            osp.join(EVIDENCE_DIR,
+                     _ALIASES["semitrained_teacher.msgpack"]))
