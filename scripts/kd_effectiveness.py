@@ -113,6 +113,10 @@ def main():
     # (distilTrain.py:174); default keeps the round-4 single-layer protocol
     hint_layers = [int(x) for x in _arg("--hint", str(HINT_LAYER)).split(",")]
     tag = _arg("--tag", "")
+    # --seed offsets the student init AND the (arm-shared) batch stream —
+    # a full independent replicate of the paired two-arm protocol; the
+    # held-out eval batches stay fixed so EPEs are comparable across seeds
+    seed = int(_arg("--seed", 0))
 
     ds = KITTI(train=False, transform=ProcessData(num_points=8192))
     bank = build_scene_bank(ds, range(len(ds)))
@@ -142,7 +146,7 @@ def main():
     probe = make_batches(bank, train_ids[:bs], np.random.default_rng(0), bs)
     s_init = jax.jit(lambda k: s_model.init(
         k, probe[0]["pos1"], probe[0]["pos2"], probe[0]["norm1"],
-        probe[0]["norm2"], train=False))(jax.random.PRNGKey(42))
+        probe[0]["norm2"], train=False))(jax.random.PRNGKey(42 + seed))
     tx = make_optimizer(1e-3, 1e-4)
     eval_step = make_eval_step(s_model)
 
@@ -154,7 +158,7 @@ def main():
     def make_batch_stream():
         """Identical batch stream for both arms: seeded permutations of the
         train scenes, fresh point resample each visit."""
-        rng = np.random.default_rng(7)
+        rng = np.random.default_rng(7 + seed)
         queue = []
 
         def next_batch(_i):
