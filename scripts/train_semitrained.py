@@ -76,6 +76,10 @@ def main():
     save_at = ([int(x) for x in
                 sys.argv[sys.argv.index("--save-at") + 1].split(",")]
                if "--save-at" in sys.argv else [])
+    # --tag SUFFIX: append to every output fixture name (continuation runs
+    # must not overwrite the checkpoint they started from)
+    tag = (sys.argv[sys.argv.index("--tag") + 1]
+           if "--tag" in sys.argv else "")
     eval_every = max(200, n_steps // 12)
 
     ds = KITTI(train=False, transform=ProcessData(num_points=N_POINTS))
@@ -96,7 +100,21 @@ def main():
     variables = jax.jit(lambda k: model.init(
         k, b0["pos1"], b0["pos2"], b0["norm1"], b0["norm2"],
         train=False))(jax.random.PRNGKey(seed))
-    tx = make_optimizer(1e-3, 1e-4)
+    # --init-from PATH: continue from a saved {params, batch_stats} tree
+    # (fresh Adam state; pair with --lr set to the prior run's decayed
+    # value so the warm restart doesn't blow up early steps) — used to
+    # extend the licensing regime curve toward the reference's trained
+    # regime without repaying the full schedule.
+    init_from = (sys.argv[sys.argv.index("--init-from") + 1]
+                 if "--init-from" in sys.argv else None)
+    if init_from:
+        from evidence_data import load_msgpack_tree
+        p0, s0 = load_msgpack_tree(init_from)
+        variables = {"params": p0, "batch_stats": s0}
+        print(f"init from {init_from}", flush=True)
+    lr0 = (float(sys.argv[sys.argv.index("--lr") + 1])
+           if "--lr" in sys.argv else 1e-3)
+    tx = make_optimizer(lr0, 1e-4)
     state = TrainState.create(variables, tx)
     train_step = make_train_step(model, tx)
     eval_step = make_eval_step(model)
@@ -126,7 +144,7 @@ def main():
         state, loss = train_step(state, queue.pop())
         losses.append(float(loss))
         if (step_i + 1) in save_at:
-            _dump(f"_s{seed}_step{step_i + 1}")
+            _dump(f"_s{seed}{tag}_step{step_i + 1}")
         if step_i == int(n_steps * 0.5) or step_i == int(n_steps * 0.75):
             state = state.replace(opt_state=set_learning_rate(
                 state.opt_state,
@@ -145,7 +163,7 @@ def main():
                         "batch_stats": jax.device_get(state.batch_stats)}
                 best = (held, flax.serialization.to_bytes(tree))
 
-    sfx = "" if seed == 0 else f"_s{seed}"
+    sfx = ("" if seed == 0 else f"_s{seed}") + tag
     with open(osp.join(FIXTURE_DIR, f"semitrained_{preset}{sfx}.msgpack"),
               "wb") as fd:
         fd.write(best[1])
