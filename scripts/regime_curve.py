@@ -46,6 +46,7 @@ def variant_cfg(name):
                                      knn_precision="highest"),
         "production": teacher,
         "serving_v2": PRESETS["serving_v2"],
+        "serving_v3": PRESETS["serving_v3"],   # == prod_cw0 (licensed name)
         "serving": PRESETS["serving"],
         "prod_cw0": dataclasses.replace(teacher, coarse_warp=(0,)),
         "prod_cw01": dataclasses.replace(teacher, coarse_warp=(0, 1)),
